@@ -1,0 +1,311 @@
+"""Pure-Python NIfTI-1 / MetaImage codec.
+
+Replaces the reference's SimpleITK dependency (reference:
+PyMIC/pymic/io/image_read_write.py:9-36) with a dependency-free host-side
+codec. Array conventions match ``sitk.GetArrayFromImage``: volumes are
+returned as ``[D, H, W]`` (z fastest-varying last), ``spacing`` is the
+(x, y, z) voxel size tuple, ``origin``/``direction`` are reported in LPS
+(ITK convention, i.e. the NIfTI RAS affine with x/y negated).
+
+The codec is deliberately small: it supports the datatypes that appear in
+medical segmentation practice and round-trips header metadata so outputs
+carry the same geometry as their source images.
+"""
+from __future__ import annotations
+
+import gzip
+import os
+import struct
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import numpy as np
+
+# NIfTI-1 datatype codes
+_DT_TO_NUMPY = {
+    2: np.uint8,
+    4: np.int16,
+    8: np.int32,
+    16: np.float32,
+    64: np.float64,
+    256: np.int8,
+    512: np.uint16,
+    768: np.uint32,
+    1024: np.int64,
+    1280: np.uint64,
+}
+_NUMPY_TO_DT = {
+    np.dtype(np.uint8): (2, 8),
+    np.dtype(np.int16): (4, 16),
+    np.dtype(np.int32): (8, 32),
+    np.dtype(np.float32): (16, 32),
+    np.dtype(np.float64): (64, 64),
+    np.dtype(np.int8): (256, 8),
+    np.dtype(np.uint16): (512, 16),
+    np.dtype(np.uint32): (768, 32),
+    np.dtype(np.int64): (1024, 64),
+}
+
+_HDR_SIZE = 348
+
+
+@dataclass
+class ImageGeometry:
+    """Geometry metadata in ITK (LPS) convention."""
+    origin: Tuple[float, ...] = (0.0, 0.0, 0.0)
+    spacing: Tuple[float, ...] = (1.0, 1.0, 1.0)          # (x, y, z)
+    direction: Tuple[float, ...] = (1, 0, 0, 0, 1, 0, 0, 0, 1)
+
+
+@dataclass
+class NiftiImage:
+    data: np.ndarray                     # [D, H, W] (or [H, W] for 2D)
+    geometry: ImageGeometry = field(default_factory=ImageGeometry)
+
+
+def _open_maybe_gz(filename: str, mode: str):
+    if filename.endswith('.gz'):
+        return gzip.open(filename, mode)
+    return open(filename, mode)
+
+
+def _parse_header(raw: bytes):
+    sizeof_hdr = struct.unpack('<i', raw[:4])[0]
+    endian = '<'
+    if sizeof_hdr != _HDR_SIZE:
+        sizeof_hdr = struct.unpack('>i', raw[:4])[0]
+        if sizeof_hdr != _HDR_SIZE:
+            raise ValueError('not a NIfTI-1 file (sizeof_hdr != 348)')
+        endian = '>'
+    u = lambda fmt, off: struct.unpack(endian + fmt, raw[off:off + struct.calcsize(fmt)])
+    dim = u('8h', 40)
+    datatype, bitpix = u('hh', 70)
+    pixdim = u('8f', 76)
+    vox_offset = u('f', 108)[0]
+    scl_slope, scl_inter = u('ff', 112)
+    qform_code, sform_code = u('hh', 252)
+    quatern = u('3f', 256)
+    qoffset = u('3f', 268)
+    srow_x = u('4f', 280)
+    srow_y = u('4f', 296)
+    srow_z = u('4f', 312)
+    return dict(endian=endian, dim=dim, datatype=datatype, bitpix=bitpix,
+                pixdim=pixdim, vox_offset=vox_offset, scl_slope=scl_slope,
+                scl_inter=scl_inter, qform_code=qform_code, sform_code=sform_code,
+                quatern=quatern, qoffset=qoffset,
+                srow=(srow_x, srow_y, srow_z))
+
+
+def _affine_from_header(h) -> np.ndarray:
+    """3x4 voxel->world (RAS) affine from sform (preferred) or qform."""
+    if h['sform_code'] > 0:
+        return np.asarray(h['srow'], dtype=np.float64)
+    pixdim = h['pixdim']
+    if h['qform_code'] > 0:
+        b, c, d = h['quatern']
+        a2 = max(0.0, 1.0 - b * b - c * c - d * d)
+        a = float(np.sqrt(a2))
+        R = np.array([
+            [a * a + b * b - c * c - d * d, 2 * (b * c - a * d), 2 * (b * d + a * c)],
+            [2 * (b * c + a * d), a * a + c * c - b * b - d * d, 2 * (c * d - a * b)],
+            [2 * (b * d - a * c), 2 * (c * d + a * b), a * a + d * d - b * b - c * c],
+        ])
+        qfac = -1.0 if pixdim[0] == -1.0 else 1.0
+        S = np.diag([pixdim[1], pixdim[2], qfac * pixdim[3]])
+        A = np.zeros((3, 4))
+        A[:, :3] = R @ S
+        A[:, 3] = h['qoffset']
+        return A
+    A = np.zeros((3, 4))
+    A[:, :3] = np.diag([pixdim[1], pixdim[2], pixdim[3]])
+    return A
+
+
+def _geometry_from_affine(affine: np.ndarray) -> ImageGeometry:
+    """Convert a RAS voxel->world affine to ITK-style LPS origin/spacing/direction."""
+    lps = affine.copy()
+    lps[0, :] *= -1.0
+    lps[1, :] *= -1.0
+    M = lps[:, :3]
+    spacing = np.sqrt((M ** 2).sum(axis=0))
+    spacing = np.where(spacing == 0, 1.0, spacing)
+    direction = M / spacing[None, :]
+    return ImageGeometry(origin=tuple(float(v) for v in lps[:, 3]),
+                         spacing=tuple(float(v) for v in spacing),
+                         direction=tuple(float(v) for v in direction.reshape(-1)))
+
+
+def _affine_from_geometry(geom: ImageGeometry, ndim: int = 3) -> np.ndarray:
+    """Inverse of :func:`_geometry_from_affine` (LPS -> RAS)."""
+    D = np.asarray(geom.direction, dtype=np.float64).reshape(3, 3)
+    S = np.diag(np.asarray(geom.spacing[:3], dtype=np.float64))
+    A = np.zeros((3, 4))
+    A[:, :3] = D @ S
+    A[:, 3] = np.asarray(geom.origin[:3], dtype=np.float64)
+    A[0, :] *= -1.0
+    A[1, :] *= -1.0
+    return A
+
+
+def read_nifti(filename: str) -> NiftiImage:
+    with _open_maybe_gz(filename, 'rb') as f:
+        raw = f.read()
+    h = _parse_header(raw[:_HDR_SIZE])
+    ndim = h['dim'][0]
+    shape_xyz = [max(1, int(s)) for s in h['dim'][1:1 + max(ndim, 3)]]
+    if ndim > 4 or (ndim == 4 and shape_xyz[3] != 1):
+        raise ValueError('unsupported NIfTI dimensionality: {}'.format(h['dim']))
+    shape_xyz = shape_xyz[:3]
+    np_dtype = _DT_TO_NUMPY.get(h['datatype'])
+    if np_dtype is None:
+        raise ValueError('unsupported NIfTI datatype code {}'.format(h['datatype']))
+    dtype = np.dtype(np_dtype).newbyteorder(h['endian'])
+    n_vox = int(np.prod(shape_xyz))
+    off = int(h['vox_offset'])
+    data = np.frombuffer(raw, dtype=dtype, count=n_vox, offset=off)
+    # disk order is x-fastest (Fortran); reshape C-order as (z, y, x) = [D, H, W]
+    data = data.reshape(shape_xyz[::-1])
+    slope, inter = h['scl_slope'], h['scl_inter']
+    if slope not in (0.0, 1.0) or inter != 0.0:
+        if slope == 0.0:
+            slope = 1.0
+        data = data.astype(np.float32) * slope + inter
+    else:
+        data = np.asarray(data).astype(data.dtype.newbyteorder('='))
+    geom = _geometry_from_affine(_affine_from_header(h))
+    geom.spacing = tuple(float(abs(p)) for p in h['pixdim'][1:4])
+    return NiftiImage(data=np.ascontiguousarray(data), geometry=geom)
+
+
+def write_nifti(image: NiftiImage, filename: str) -> None:
+    data = np.ascontiguousarray(image.data)
+    if data.ndim == 2:
+        data = data[None]
+    if data.ndim != 3:
+        raise ValueError('write_nifti expects a [D,H,W] volume')
+    if data.dtype not in _NUMPY_TO_DT:
+        data = data.astype(np.float32)
+    datatype, bitpix = _NUMPY_TO_DT[data.dtype]
+    nz, ny, nx = data.shape
+
+    hdr = bytearray(_HDR_SIZE + 4)
+    struct.pack_into('<i', hdr, 0, _HDR_SIZE)
+    struct.pack_into('<8h', hdr, 40, 3, nx, ny, nz, 1, 1, 1, 1)
+    struct.pack_into('<hh', hdr, 70, datatype, bitpix)
+    sx, sy, sz = (list(image.geometry.spacing) + [1.0, 1.0, 1.0])[:3]
+    struct.pack_into('<8f', hdr, 76, 1.0, sx, sy, sz, 0, 0, 0, 0)
+    struct.pack_into('<f', hdr, 108, float(_HDR_SIZE + 4))  # vox_offset
+    struct.pack_into('<ff', hdr, 112, 1.0, 0.0)             # scl_slope/inter
+    hdr[123] = 2 | 8                                        # xyzt_units: mm | sec
+    affine = _affine_from_geometry(image.geometry)
+    struct.pack_into('<hh', hdr, 252, 1, 1)                 # qform, sform codes
+    # qform: store offsets only if rotation is identity-ish; sform carries truth
+    struct.pack_into('<3f', hdr, 268, *[float(v) for v in affine[:, 3]])
+    struct.pack_into('<4f', hdr, 280, *[float(v) for v in affine[0]])
+    struct.pack_into('<4f', hdr, 296, *[float(v) for v in affine[1]])
+    struct.pack_into('<4f', hdr, 312, *[float(v) for v in affine[2]])
+    hdr[344:348] = b'n+1\x00'
+
+    payload = bytes(hdr) + data.tobytes()
+    out_dir = os.path.dirname(filename)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+    with _open_maybe_gz(filename, 'wb') as f:
+        f.write(payload)
+
+
+# ---------------------------------------------------------------------------
+# MetaImage (.mha) — header is ASCII key=value lines, data appended (local only)
+# ---------------------------------------------------------------------------
+
+_MET_TO_NUMPY = {
+    'MET_UCHAR': np.uint8, 'MET_CHAR': np.int8, 'MET_SHORT': np.int16,
+    'MET_USHORT': np.uint16, 'MET_INT': np.int32, 'MET_UINT': np.uint32,
+    'MET_FLOAT': np.float32, 'MET_DOUBLE': np.float64,
+    'MET_LONG': np.int64, 'MET_ULONG': np.uint64,
+}
+_NUMPY_TO_MET = {np.dtype(v): k for k, v in _MET_TO_NUMPY.items()}
+
+
+def read_mha(filename: str) -> NiftiImage:
+    with open(filename, 'rb') as f:
+        raw = f.read()
+    header = {}
+    pos = 0
+    while True:
+        eol = raw.index(b'\n', pos)
+        line = raw[pos:eol].decode('ascii', 'ignore').strip()
+        pos = eol + 1
+        if '=' not in line:
+            continue
+        key, val = [s.strip() for s in line.split('=', 1)]
+        header[key] = val
+        if key == 'ElementDataFile':
+            break
+    ndim = int(header.get('NDims', 3))
+    shape_xyz = [int(v) for v in header['DimSize'].split()]
+    dtype = np.dtype(_MET_TO_NUMPY[header['ElementType']])
+    if header.get('BinaryDataByteOrderMSB', 'False').lower() == 'true':
+        dtype = dtype.newbyteorder('>')
+    if header.get('CompressedData', 'False').lower() == 'true':
+        import zlib
+        buf = zlib.decompress(raw[pos:])
+    else:
+        buf = raw[pos:]
+    data = np.frombuffer(buf, dtype=dtype, count=int(np.prod(shape_xyz)))
+    data = data.reshape(shape_xyz[::-1])
+    spacing = tuple(float(v) for v in header.get(
+        'ElementSpacing', ' '.join(['1'] * ndim)).split())
+    origin = tuple(float(v) for v in header.get(
+        'Offset', ' '.join(['0'] * ndim)).split())
+    tm = header.get('TransformMatrix', None)
+    if tm is not None and ndim == 3:
+        direction = tuple(float(v) for v in tm.split())
+    else:
+        direction = (1, 0, 0, 0, 1, 0, 0, 0, 1)
+    geom = ImageGeometry(origin=origin, spacing=spacing, direction=direction)
+    return NiftiImage(data=np.ascontiguousarray(
+        data.astype(data.dtype.newbyteorder('='))), geometry=geom)
+
+
+def write_mha(image: NiftiImage, filename: str) -> None:
+    data = np.ascontiguousarray(image.data)
+    if data.ndim == 2:
+        data = data[None]
+    geom = image.geometry
+    nz, ny, nx = data.shape
+    lines = [
+        'ObjectType = Image',
+        'NDims = 3',
+        'BinaryData = True',
+        'BinaryDataByteOrderMSB = False',
+        'CompressedData = False',
+        'TransformMatrix = ' + ' '.join(str(float(v)) for v in geom.direction),
+        'Offset = ' + ' '.join(str(float(v)) for v in (list(geom.origin) + [0., 0., 0.])[:3]),
+        'CenterOfRotation = 0 0 0',
+        'ElementSpacing = ' + ' '.join(str(float(v)) for v in (list(geom.spacing) + [1., 1., 1.])[:3]),
+        'DimSize = {} {} {}'.format(nx, ny, nz),
+        'ElementType = ' + _NUMPY_TO_MET.get(data.dtype, 'MET_FLOAT'),
+        'ElementDataFile = LOCAL',
+    ]
+    if data.dtype not in _NUMPY_TO_MET:
+        data = data.astype(np.float32)
+    out_dir = os.path.dirname(filename)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+    with open(filename, 'wb') as f:
+        f.write(('\n'.join(lines) + '\n').encode('ascii'))
+        f.write(data.tobytes())
+
+
+def read_image(filename: str) -> NiftiImage:
+    if filename.endswith('.mha'):
+        return read_mha(filename)
+    return read_nifti(filename)
+
+
+def write_image(image: NiftiImage, filename: str) -> None:
+    if filename.endswith('.mha'):
+        write_mha(image, filename)
+    else:
+        write_nifti(image, filename)

@@ -1,0 +1,38 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip sharding paths are validated on host CPU devices
+(xla_force_host_platform_device_count) per the project test strategy.
+"""
+import os
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import numpy as np
+import pytest
+
+
+REFERENCE_DATASET = '/root/reference/dataset'
+
+
+@pytest.fixture(scope='session')
+def rng():
+    return np.random.RandomState(2024)
+
+
+@pytest.fixture(scope='session')
+def fixture_dir(tmp_path_factory):
+    """Directory of small synthetic NIfTI fixtures shared across tests."""
+    from fpl_plus_tpu.io.nifti import ImageGeometry, NiftiImage, write_nifti
+    d = tmp_path_factory.mktemp('nifti_fixtures')
+    rs = np.random.RandomState(7)
+    geom = ImageGeometry(origin=(-10., 20., 5.), spacing=(0.5, 0.5, 1.5),
+                         direction=(1, 0, 0, 0, 1, 0, 0, 0, 1))
+    vol = rs.normal(100., 30., size=(12, 40, 48)).astype(np.float32)
+    lab = np.zeros((12, 40, 48), np.int16)
+    lab[4:8, 10:20, 15:30] = 1
+    write_nifti(NiftiImage(vol, geom), str(d / 'img.nii.gz'))
+    write_nifti(NiftiImage(lab, geom), str(d / 'lab.nii.gz'))
+    return d

@@ -1,0 +1,73 @@
+import os
+
+import numpy as np
+import pytest
+
+from fpl_plus_tpu.io.nifti import (ImageGeometry, NiftiImage, read_nifti,
+                                   write_nifti, read_mha, write_mha)
+from fpl_plus_tpu.io.image_io import load_image_as_nd_array, save_nd_array_as_image
+from tests.conftest import REFERENCE_DATASET
+
+
+def test_nifti_roundtrip(tmp_path):
+    rs = np.random.RandomState(0)
+    vol = rs.normal(size=(10, 20, 30)).astype(np.float32)
+    geom = ImageGeometry(origin=(1., -2., 3.), spacing=(0.7, 0.8, 2.0),
+                         direction=(1, 0, 0, 0, 1, 0, 0, 0, 1))
+    p = str(tmp_path / 'x.nii.gz')
+    write_nifti(NiftiImage(vol, geom), p)
+    back = read_nifti(p)
+    np.testing.assert_allclose(back.data, vol, rtol=0, atol=0)
+    np.testing.assert_allclose(back.geometry.spacing, geom.spacing, atol=1e-5)
+    np.testing.assert_allclose(back.geometry.origin, geom.origin, atol=1e-4)
+    np.testing.assert_allclose(back.geometry.direction, geom.direction, atol=1e-5)
+
+
+def test_nifti_uncompressed_and_int(tmp_path):
+    vol = np.arange(2 * 3 * 4, dtype=np.int16).reshape(2, 3, 4)
+    p = str(tmp_path / 'x.nii')
+    write_nifti(NiftiImage(vol), p)
+    back = read_nifti(p)
+    assert back.data.dtype == np.int16
+    np.testing.assert_array_equal(back.data, vol)
+
+
+def test_mha_roundtrip(tmp_path):
+    vol = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+    geom = ImageGeometry(origin=(5., 6., 7.), spacing=(1., 2., 3.))
+    p = str(tmp_path / 'x.mha')
+    write_mha(NiftiImage(vol, geom), p)
+    back = read_mha(p)
+    np.testing.assert_array_equal(back.data, vol)
+    np.testing.assert_allclose(back.geometry.spacing, geom.spacing)
+    np.testing.assert_allclose(back.geometry.origin, geom.origin)
+
+
+def test_load_image_as_nd_array_contract(fixture_dir):
+    out = load_image_as_nd_array(str(fixture_dir / 'img.nii.gz'))
+    assert out['data_array'].shape == (1, 12, 40, 48)
+    # spacing reported (z, y, x) like the reference loader
+    np.testing.assert_allclose(out['spacing'], (1.5, 0.5, 0.5), atol=1e-5)
+
+
+def test_save_with_reference_metadata(fixture_dir, tmp_path):
+    seg = np.zeros((12, 40, 48), np.uint8)
+    seg[5:7] = 1
+    out_name = str(tmp_path / 'seg.nii.gz')
+    save_nd_array_as_image(seg, out_name, str(fixture_dir / 'img.nii.gz'))
+    back = read_nifti(out_name)
+    assert back.data.dtype == np.uint8
+    np.testing.assert_array_equal(back.data, seg)
+    np.testing.assert_allclose(back.geometry.spacing, (0.5, 0.5, 1.5), atol=1e-5)
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE_DATASET),
+                    reason='reference fixture dataset not present')
+def test_reads_reference_fixture_volume():
+    f = os.path.join(REFERENCE_DATASET, 'hrT2_test', 'vs_gk_9_t2.nii.gz')
+    out = load_image_as_nd_array(f)
+    assert out['data_array'].shape == (1, 40, 160, 272)
+    np.testing.assert_allclose(out['spacing'], (1.5, 0.4102, 0.4102), atol=1e-4)
+    seg = load_image_as_nd_array(
+        os.path.join(REFERENCE_DATASET, 'hrT2_test', 'vs_gk_9_t2_seg.nii.gz'))
+    assert set(np.unique(seg['data_array'])) <= {0, 1, 2}
