@@ -63,12 +63,9 @@ def crop_and_pad_nd_array_to_desired_shape(image: np.ndarray,
 
 def label_connected_components(image: np.ndarray):
     """Label connected components (face connectivity). Returns (labels, n)."""
-    try:
-        from fpl_plus_tpu.native import binding as native
-        return native.connected_components(np.ascontiguousarray(image) > 0)
-    except Exception:
-        s = ndimage.generate_binary_structure(image.ndim, 1)
-        return ndimage.label(image, s)
+    from fpl_plus_tpu import native
+    return native.connected_components(np.ascontiguousarray(image) > 0,
+                                       connectivity=6)
 
 
 def get_largest_k_components(image: np.ndarray, k: int = 1) -> np.ndarray:
