@@ -1,0 +1,471 @@
+"""Segmentation agent — the dual-domain (DSBN) FPL+ runtime.
+
+Orchestration parity with the reference SegmentationAgent
+(PyMIC/pymic/net_run_dsbn/agent_seg.py): dual-domain train/valid loops with
+per-domain DSBN banks, ``val_t1``/``val_t2`` checkpoint selection (:509-604),
+``train_valid`` outer loop with best-checkpoint tracking / iter_save
+schedules / early stopping / scalar curves (:689-831), sliding-window +
+flip-TTA inference with inverse transforms and output saving (:834-1083),
+the FPL MC-dropout uncertainty pass (:897-931, 954-960) and multi-checkpoint
+ensembling (:966-1020).
+
+TPU mapping: the per-iteration work is one jitted train step
+(engine/train.py); inference is the jit sliding-window program
+(engine/infer.py) whose traced ``ctx`` carries (variables, domain, rng) so
+checkpoint/domain/rng changes never recompile; host<->device layout
+conversion (NCDHW <-> channels-last) happens once per batch here.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.special
+
+from fpl_plus_tpu.agents.agent_abstract import NetRunAgent
+from fpl_plus_tpu.engine import ckpt as ckpt_lib
+from fpl_plus_tpu.engine.infer import Inferer
+from fpl_plus_tpu.engine.optim import PlateauScheduler, create_optimizer
+from fpl_plus_tpu.engine.train import (TrainState, create_train_state,
+                                       make_train_step)
+from fpl_plus_tpu.io.image_io import save_nd_array_as_image
+from fpl_plus_tpu.io.loader import repeat_loader
+from fpl_plus_tpu.losses import SegLossDict, create_loss_calculator
+from fpl_plus_tpu.losses.util import get_classwise_dice
+from fpl_plus_tpu.models.registry import (create_network, init_network,
+                                          param_count)
+from fpl_plus_tpu.utils.image_process import convert_label
+from fpl_plus_tpu.utils.post_process import PostProcessDict
+from fpl_plus_tpu.utils.scalar_writer import ScalarWriter
+
+
+def to_channels_last(x: np.ndarray) -> jnp.ndarray:
+    return jnp.asarray(np.moveaxis(np.asarray(x), 1, -1))
+
+
+class SegmentationAgent(NetRunAgent):
+    def __init__(self, config: dict, stage: str = 'train'):
+        super().__init__(config, stage)
+        self.loss_dict = SegLossDict
+        self.module = None
+        self.variables = None
+        self.postprocessor = None
+        train_cfg = config.get('training', {})
+        self.fpl_uda = train_cfg.get('train_fpl_uda', False)
+        self.dual = train_cfg.get('dual', False)
+        self.use_entropy = train_cfg.get('entropy_reg', False)
+        self.output_dir = None
+
+    def task_type(self) -> str:
+        return 'segmentation'
+
+    # -- network ------------------------------------------------------------
+    def create_network(self):
+        if self.module is None:
+            self.module = create_network(self.config['network'])
+        params, batch_stats = init_network(self.module,
+                                           self.config['network'],
+                                           seed=self.random_seed)
+        self.variables = {'params': params, 'batch_stats': batch_stats}
+        logging.info('parameter number %d', param_count(params))
+
+    # -- device-side closures (stable identities: bound methods) -----------
+    def _patch_forward(self, ctx, x):
+        """Inference predictor: ctx = (variables, domain, rng|None)."""
+        variables, domain, rng = ctx
+        kwargs = {}
+        if rng is not None:
+            kwargs = {'rngs': {'dropout': rng}}
+            out = self.module.apply(variables, x, domain, False,
+                                    use_dropout=True, **kwargs)
+        else:
+            out = self.module.apply(variables, x, domain, False)
+        return out[0] if isinstance(out, (tuple, list)) else out
+
+    def _make_inferer(self) -> Inferer:
+        infer_cfg = dict(self.config['testing'])
+        infer_cfg['class_num'] = self.config['network']['class_num']
+        return Inferer(infer_cfg)
+
+    # -- training -----------------------------------------------------------
+    def _batch_to_device(self, data: Dict) -> Dict:
+        batch = {'image': to_channels_last(data['image']),
+                 'label_prob': to_channels_last(data['label_prob'])}
+        if self.fpl_uda and data.get('pixel_weight', None) is not None:
+            batch['pixel_weight'] = to_channels_last(data['pixel_weight'])
+            if data.get('image_weight', None) is not None:
+                batch['image_weight'] = jnp.asarray(
+                    np.asarray(data['image_weight'], np.float32))
+        return batch
+
+    def train_valid(self):
+        cfg_t = self.config['training']
+        ckpt_dir = cfg_t['ckpt_save_dir']
+        ckpt_prefix = ckpt_lib.ckpt_prefix_of(self.config)
+        iter_start = cfg_t.get('iter_start', 0)
+        iter_max = cfg_t['iter_max']
+        iter_valid = cfg_t['iter_valid']
+        iter_save = cfg_t.get('iter_save', None)
+        early_stop_it = cfg_t.get('early_stop_patience', None)
+        if iter_save is None:
+            iter_save_list = [iter_max]
+        elif isinstance(iter_save, (tuple, list)):
+            iter_save_list = iter_save
+        else:
+            iter_save_list = list(range(0, iter_max + 1, iter_save))
+
+        sched_params = dict(cfg_t)
+        sched_params['last_iter'] = iter_start if iter_start > 0 else -1
+        optimizer = create_optimizer(cfg_t, sched_params)
+        plateau = PlateauScheduler(sched_params)
+        state = create_train_state(self.variables['params'],
+                                   self.variables['batch_stats'], optimizer)
+
+        max_val_dice, max_val_it = 0.0, iter_start
+        best_state_host = None
+        if iter_start > 0:
+            path = '{0}/{1}_{2}.ckpt'.format(ckpt_dir, ckpt_prefix,
+                                             iter_start)
+            loaded = ckpt_lib.load_checkpoint(path, {
+                'params': state.params, 'batch_stats': state.batch_stats,
+                'opt_state': state.opt_state})
+            state = state.replace(
+                params=loaded['state']['params'],
+                batch_stats=loaded['state']['batch_stats'],
+                opt_state=loaded['state']['opt_state'],
+                step=jnp.asarray(iter_start, jnp.int32))
+            best_state_host = {'params': loaded['state']['params'],
+                               'batch_stats': loaded['state']['batch_stats']}
+            logging.info('resumed from %s', path)
+
+        loss_calc = create_loss_calculator(self.config, self.loss_dict)
+        # reference semantics: dual=True -> joint loss (training_all);
+        # otherwise per-domain alternating steps with entropy regulariser
+        train_step = make_train_step(
+            self.module.apply, loss_calc, optimizer,
+            num_domains=self.num_domains, joint=self.dual,
+            fpl_uda=self.fpl_uda,
+            entropy_coeff=1.0 if (self.use_entropy and not self.dual) else 0.0)
+
+        writer = ScalarWriter(ckpt_dir)
+        train_iters = [repeat_loader(ld) for ld in self.train_loaders]
+        rng = jax.random.PRNGKey(self.random_seed)
+        glob_it = iter_start
+        class_num = self.config['network']['class_num']
+
+        for block_start in range(iter_start, iter_max, iter_valid):
+            lr_value = self._current_lr(state)
+            t0 = time.time()
+            dice_acc = [[] for _ in range(self.num_domains)]
+            loss_acc = []
+            for _ in range(iter_valid):
+                batches = tuple(self._batch_to_device(next(it))
+                                for it in train_iters)
+                rng, sub = jax.random.split(rng)
+                state, metrics = train_step(state, batches, sub)
+                loss_acc.append(metrics['loss'])
+                for d in range(self.num_domains):
+                    dice_acc[d].append(metrics['class_dice_{0}'.format(d)])
+            train_loss = float(np.mean([float(x) for x in loss_acc]))
+            cls_dice = [np.mean(np.asarray(acc), axis=0) for acc in dice_acc]
+            train_cls_dice = np.mean(cls_dice, axis=0)
+            train_scalars = {'loss': train_loss,
+                             'avg_dice': float(train_cls_dice.mean()),
+                             'class_dice': train_cls_dice}
+            t1 = time.time()
+            valid_scalars = self.validation(state)
+            t2 = time.time()
+            glob_it = block_start + iter_valid
+
+            scale = plateau.step(valid_scalars['plateau_metric'])
+            if plateau.enabled:
+                state = self._scale_lr(state, scale)
+
+            logging.info('it %d', glob_it)
+            logging.info('learning rate %s', lr_value)
+            logging.info('training/validation time: %.2fs/%.2fs',
+                         t1 - t0, t2 - t1)
+            self._write_scalars(writer, train_scalars, valid_scalars,
+                                lr_value, glob_it, class_num)
+
+            if valid_scalars['avg_dice'] > max_val_dice:
+                max_val_dice = valid_scalars['avg_dice']
+                max_val_it = glob_it
+                best_state_host = jax.tree_util.tree_map(
+                    np.asarray, {'params': state.params,
+                                 'batch_stats': state.batch_stats})
+
+            stop_now = (early_stop_it is not None
+                        and glob_it - max_val_it > early_stop_it)
+            if glob_it in iter_save_list or stop_now:
+                ckpt_lib.save_checkpoint(
+                    ckpt_dir, ckpt_prefix, glob_it,
+                    {'params': state.params,
+                     'batch_stats': state.batch_stats,
+                     'opt_state': state.opt_state},
+                    valid_scalars['avg_dice'])
+            if stop_now:
+                logging.info('The training is early stopped')
+                break
+
+        # save the best-performing checkpoint (reference :809-828)
+        if best_state_host is not None:
+            ckpt_lib.save_checkpoint(
+                ckpt_dir, ckpt_prefix, max_val_it,
+                {'params': best_state_host['params'],
+                 'batch_stats': best_state_host['batch_stats'],
+                 'opt_state': state.opt_state},
+                max_val_dice, update_latest=False)
+        ckpt_lib.write_best_pointer(ckpt_dir, ckpt_prefix, max_val_it)
+        logging.info('The best performing iter is %d, valid dice %s',
+                     max_val_it, max_val_dice)
+        writer.close()
+        self.variables = {'params': state.params,
+                          'batch_stats': state.batch_stats}
+
+    def _current_lr(self, state: TrainState) -> float:
+        try:
+            return float(state.opt_state.hyperparams['learning_rate'])
+        except Exception:
+            return float(self.config['training'].get('learning_rate', 0.0))
+
+    def _scale_lr(self, state: TrainState, scale: float) -> TrainState:
+        base = self.config['training']['learning_rate']
+        try:
+            state.opt_state.hyperparams['learning_rate'] = jnp.asarray(
+                base * scale, jnp.float32)
+        except Exception:
+            pass
+        return state
+
+    def _write_scalars(self, writer, train_scalars, valid_scalars, lr_value,
+                       glob_it, class_num):
+        writer.add_scalars('loss', {'train': train_scalars['loss'],
+                                    'valid': valid_scalars['loss']}, glob_it)
+        writer.add_scalars('dice', {'train': train_scalars['avg_dice'],
+                                    'valid': valid_scalars['avg_dice']},
+                           glob_it)
+        writer.add_scalar('lr', lr_value, glob_it)
+        for c in range(class_num):
+            writer.add_scalars('class_{0}_dice'.format(c), {
+                'train': float(train_scalars['class_dice'][c]),
+                'valid': float(valid_scalars['class_dice'][c])}, glob_it)
+        logging.info('train loss %.4f, avg foreground dice %.4f %s',
+                     train_scalars['loss'], train_scalars['avg_dice'],
+                     train_scalars['class_dice'])
+        logging.info('valid loss %.4f, avg foreground dice %.4f %s',
+                     valid_scalars['loss'], valid_scalars['avg_dice'],
+                     valid_scalars['class_dice'])
+
+    # -- validation ----------------------------------------------------------
+    def validation(self, state: TrainState) -> Dict:
+        """Per-domain whole-volume validation through the Inferer
+        (reference :509-604)."""
+        if self.inferer is None:
+            self.inferer = self._make_inferer()
+        variables = {'params': state.params,
+                     'batch_stats': state.batch_stats}
+        loss_calc = create_loss_calculator(self.config, self.loss_dict)
+        per_domain = []
+        for d, loader in enumerate(self.valid_loaders):
+            losses, dices = [], []
+            for data in loader:
+                images = np.asarray(data['image'], np.float32)
+                label_prob = to_channels_last(data['label_prob'])
+                for i in range(images.shape[0]):
+                    pred = self.inferer.run(
+                        self._patch_forward,
+                        (variables, jnp.int32(d), None), images[i:i + 1])
+                    pred_cl = jnp.asarray(np.moveaxis(pred[0], 0, -1))[None]
+                    loss = loss_calc({'prediction': pred_cl,
+                                      'ground_truth': label_prob[i:i + 1]})
+                    losses.append(float(loss))
+                    k = pred_cl.shape[-1]
+                    hard = jax.nn.one_hot(jnp.argmax(pred_cl, -1), k)
+                    dice = get_classwise_dice(hard.reshape(-1, k),
+                                              label_prob[i:i + 1].reshape(-1, k))
+                    dices.append(np.asarray(dice))
+            per_domain.append((float(np.mean(losses)),
+                               np.mean(np.asarray(dices), axis=0)))
+
+        loss0, cls_dice0 = per_domain[0]
+        if len(per_domain) == 2:
+            loss1, cls_dice1 = per_domain[1]
+            avg_loss = (loss0 + loss1) / 2
+            avg_cls_dice = (cls_dice0 + cls_dice1) / 2
+        else:
+            loss1, cls_dice1 = loss0, cls_dice0
+            avg_loss, avg_cls_dice = loss0, cls_dice0
+        plateau_metric = float(avg_cls_dice.mean())
+
+        cfg_t = self.config['training']
+        if cfg_t.get('val_t2', False) and len(per_domain) == 2:
+            sel = {'loss': loss1, 'avg_dice': float(cls_dice1.mean()),
+                   'class_dice': cls_dice1}
+        elif cfg_t.get('val_t1', False):
+            sel = {'loss': loss0, 'avg_dice': float(cls_dice0.mean()),
+                   'class_dice': cls_dice0}
+        else:
+            sel = {'loss': avg_loss, 'avg_dice': float(avg_cls_dice.mean()),
+                   'class_dice': avg_cls_dice}
+        sel['plateau_metric'] = plateau_metric
+        return sel
+
+    # -- inference ------------------------------------------------------------
+    def infer(self):
+        cfg_test = self.config['testing']
+        domain_label = cfg_test.get('domian_label', 0)   # (sic) reference key
+        fpl = cfg_test.get('fpl', False)
+        tt_dropout = cfg_test.get('test_time_dropout', False) or fpl
+
+        ckpt_mode = cfg_test['ckpt_mode']
+        ckpt_name = ckpt_lib.get_checkpoint_name(self.config)
+        if ckpt_mode == 3:
+            assert isinstance(ckpt_name, (tuple, list))
+            return self.infer_with_multiple_checkpoints(ckpt_name,
+                                                        domain_label)
+        if isinstance(ckpt_name, (tuple, list)):
+            raise ValueError('ckpt_mode should be 3 if ckpt_name is a list')
+
+        template = {'params': self.variables['params'],
+                    'batch_stats': self.variables['batch_stats']}
+        loaded = ckpt_lib.load_checkpoint(ckpt_name, template)
+        variables = {'params': loaded['state']['params'],
+                     'batch_stats': loaded['state']['batch_stats']}
+        logging.info('loaded checkpoint %s (iteration %d)', ckpt_name,
+                     loaded['iteration'])
+
+        if self.inferer is None:
+            self.inferer = self._make_inferer()
+        postpro_name = cfg_test.get('post_process', None)
+        if self.postprocessor is None and postpro_name is not None:
+            self.postprocessor = PostProcessDict[postpro_name](cfg_test)
+
+        infer_times = []
+        uncertainty_list = {}
+        rng = jax.random.PRNGKey(self.random_seed)
+        for data in self.test_loader:
+            images = np.asarray(data['image'], np.float32)
+            t0 = time.time()
+            if fpl:
+                rng, *subs = jax.random.split(rng, 7)
+                preds = self.inferer.run_mc(
+                    self._patch_forward,
+                    lambda r: (variables, jnp.int32(domain_label), r),
+                    images, subs)
+                maps = []
+                for pred in preds:
+                    d2 = dict(data)
+                    d2['predict'] = pred
+                    for transform in self.transform_list[::-1]:
+                        if transform.inverse:
+                            d2 = transform.inverse_transform_for_prediction(d2)
+                    maps.append(scipy.special.softmax(
+                        np.asarray(d2['predict']), axis=1))
+                maps = np.concatenate(maps, axis=0)   # [6, K, *img]
+                name = data['names'][0]
+                if isinstance(name, (list, tuple)):
+                    name = name[0]
+                # image-level uncertainty (reference :921-929)
+                vars_ = maps.var(axis=0).sum()
+                means = np.mean(maps[:, 1], axis=0)
+                uncertainty = -1.0 * (means * np.log(means + 1e-6))
+                boundary = np.where(uncertainty > 0.01, 1, 0).sum()
+                uncer_one = 1 if boundary < 50 else vars_ / boundary
+                uncertainty_list[name] = [uncer_one]
+                logging.info('%s %s', name, uncer_one)
+            else:
+                pred = self.inferer.run(
+                    self._patch_forward,
+                    (variables, jnp.int32(domain_label), None), images)
+                data['predict'] = pred
+                for transform in self.transform_list[::-1]:
+                    if transform.inverse:
+                        data = transform.inverse_transform_for_prediction(data)
+                infer_times.append(time.time() - t0)
+                self.save_outputs(data)
+        if fpl:
+            pairs = sorted(zip(uncertainty_list.values(),
+                               uncertainty_list.keys()))
+            np.save(cfg_test['fpl_uncertainty_sorted'], pairs)
+            logging.info('FPL uncertainty list saved (%d volumes)',
+                         len(pairs))
+        if infer_times:
+            arr = np.asarray(infer_times)
+            logging.info('testing time %s +/- %s', arr.mean(), arr.std())
+
+    def infer_with_multiple_checkpoints(self, ckpt_names: List[str],
+                                        domain_label: int):
+        """Average predictions from several checkpoints
+        (reference :966-1020)."""
+        if self.inferer is None:
+            self.inferer = self._make_inferer()
+        template = {'params': self.variables['params'],
+                    'batch_stats': self.variables['batch_stats']}
+        all_vars = []
+        for name in ckpt_names:
+            loaded = ckpt_lib.load_checkpoint(name, template)
+            all_vars.append({'params': loaded['state']['params'],
+                             'batch_stats': loaded['state']['batch_stats']})
+        infer_times = []
+        for data in self.test_loader:
+            images = np.asarray(data['image'], np.float32)
+            t0 = time.time()
+            preds = [self.inferer.run(self._patch_forward,
+                                      (v, jnp.int32(domain_label), None),
+                                      images)
+                     for v in all_vars]
+            data['predict'] = np.mean(preds, axis=0)
+            for transform in self.transform_list[::-1]:
+                if transform.inverse:
+                    data = transform.inverse_transform_for_prediction(data)
+            infer_times.append(time.time() - t0)
+            self.save_outputs(data)
+        arr = np.asarray(infer_times)
+        logging.info('testing time %s +/- %s', arr.mean(), arr.std())
+
+    # -- output saving --------------------------------------------------------
+    def save_outputs(self, data: Dict):
+        """Softmax -> argmax -> label convert -> postprocess -> save NIfTI
+        with metadata from the source image (reference :1022-1083), into
+        ``output_dir/(ckpt_dir + '_' + test_csv_stem)``."""
+        cfg_test = self.config['testing']
+        output_dir = cfg_test['output_dir']
+        ignore_dir = cfg_test.get('filename_ignore_dir', True)
+        label_source = cfg_test.get('label_source', None)
+        label_target = cfg_test.get('label_target', None)
+        fname_src = cfg_test.get('filename_replace_source', None)
+        fname_tgt = cfg_test.get('filename_replace_target', None)
+        ckpt_dir = self.config['training']['ckpt_save_dir'].split('/')[-1]
+        subset = self.config['dataset']['test_csv'].split('/')[-1][:-4]
+        output_dir = os.path.join(output_dir, ckpt_dir + '_' + subset)
+        self.output_dir = output_dir
+        os.makedirs(output_dir, exist_ok=True)
+
+        names, pred = data['names'], data['predict']
+        if isinstance(pred, (list, tuple)):
+            pred = pred[0]
+        prob = scipy.special.softmax(np.asarray(pred), axis=1)
+        output = np.asarray(np.argmax(prob, axis=1), np.uint8)
+        if label_source is not None and label_target is not None:
+            output = convert_label(output, label_source, label_target)
+        if self.postprocessor is not None:
+            for i in range(output.shape[0]):
+                output[i] = self.postprocessor(output[i])
+        root_dir = self.config['dataset']['root_dir']
+        for i in range(output.shape[0]):
+            name = names[i]
+            if isinstance(name, (list, tuple)):
+                name = name[0]
+            save_name = name.split('/')[-1] if ignore_dir else \
+                name.replace('/', '_')
+            if fname_src is not None and fname_tgt is not None:
+                save_name = save_name.replace(fname_src, fname_tgt)
+            save_path = '{0}/{1}'.format(output_dir, save_name)
+            save_nd_array_as_image(output[i], save_path,
+                                   root_dir + '/' + name)

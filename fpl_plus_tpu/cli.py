@@ -1,0 +1,93 @@
+"""Command-line entry points.
+
+Parity with the reference runners:
+
+* ``python -m fpl_plus_tpu.cli {train,test} cfg`` mirrors the FPL+ runner
+  (PyMIC/pymic/net_run_dsbn/net_run.py:11-43): parse + synchronize config,
+  set up file+stdout logging in ``ckpt_save_dir``, run the stage agent, and
+  after training auto-run a test stage plus ``eva_main`` evaluation.
+* Console-script style helpers ``main_run`` (pymic_run), ``main_eval_seg``
+  (pymic_eval_seg) for the standard runner/evaluator CLIs
+  (PyMIC/setup.py:30-39).
+
+Task dispatch follows ``config['dataset']['task_type']``: ``seg`` ->
+SegmentationAgent, ``cls``/``cls_nexcl`` -> ClassificationAgent.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import sys
+
+from fpl_plus_tpu.config.parser import (logging_config, parse_config,
+                                        synchronize_config)
+
+
+def _setup_logging(log_path: str) -> None:
+    os.makedirs(os.path.dirname(log_path) or '.', exist_ok=True)
+    root = logging.getLogger()
+    root.setLevel(logging.INFO)
+    for h in list(root.handlers):
+        root.removeHandler(h)
+    root.addHandler(logging.FileHandler(log_path, mode='a'))
+    root.addHandler(logging.StreamHandler(sys.stdout))
+
+
+def _make_agent(config: dict, stage: str):
+    task = config['dataset'].get('task_type', 'seg')
+    if task == 'seg':
+        from fpl_plus_tpu.agents.agent_seg import SegmentationAgent
+        return SegmentationAgent(config, stage)
+    if task in ('cls', 'cls_nexcl'):
+        from fpl_plus_tpu.agents.agent_cls import ClassificationAgent
+        return ClassificationAgent(config, stage)
+    raise ValueError('Undefined task type {0}'.format(task))
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if len(argv) < 2:
+        print('Number of arguments should be 2. e.g.\n'
+              '   python -m fpl_plus_tpu.cli train config.cfg')
+        return 1
+    stage, cfg_file = argv[0], argv[1]
+    assert stage in ('train', 'inference', 'test')
+    if not os.path.isfile(cfg_file):
+        raise ValueError('The config file does not exist: {0}'.format(
+            cfg_file))
+    config = parse_config(cfg_file)
+    config = synchronize_config(config)
+    log_dir = config['training']['ckpt_save_dir']
+    os.makedirs(log_dir, exist_ok=True)
+    _setup_logging('{0}/log_{1}.txt'.format(log_dir, stage))
+    logging_config(config)
+
+    agent = _make_agent(config, stage)
+    agent.run()
+
+    # after training, auto-run the test stage + evaluation
+    # (reference net_run_dsbn/net_run.py:37-40)
+    if stage != 'test' and config['dataset'].get('task_type', 'seg') == 'seg':
+        agent2 = _make_agent(config, 'test')
+        agent2.variables = agent.variables
+        agent2.run()
+        if 'evaluation' in config:
+            from fpl_plus_tpu.metrics.evaluate import eva_main
+            eva_main(config)
+    return 0
+
+
+def main_eval_seg(argv=None):
+    """pymic_eval_seg-compatible CLI (evaluation only)."""
+    argv = argv if argv is not None else sys.argv[1:]
+    if len(argv) < 1:
+        print('Usage: fpl-eval-seg config.cfg')
+        return 1
+    config = parse_config(argv[0])
+    from fpl_plus_tpu.metrics.evaluate import eva_main
+    eva_main(config)
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

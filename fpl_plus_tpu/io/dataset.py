@@ -1,0 +1,220 @@
+"""CSV-manifest datasets on the sample-dict contract.
+
+Behavioural parity with the reference datasets
+(PyMIC/pymic/io/nifty_dataset.py):
+
+* ``NiftyDataset`` (:106-218): columns ``image[xN],label,pixel_weight,
+  image_weight,image1``; FPL+ weight composition ``set_weight_`` —
+  ``pixel_weight[pixel_weight < 1] = 0`` then ``pixel_weight *=
+  image_weight`` (:165-168); image_weight-only rows synthesize an all-ones
+  pixel map (:191-196); unreadable pixel-weight files fall back to constant
+  0.5 maps (:197-203) — reproduced deliberately but logged loudly.
+* ``NiftyDatasetNpy`` (:220-324): ``.npy`` pseudo-label bundles carrying
+  ``predict`` / ``pixel_wise_weight`` / ``sample_wise_weight`` when
+  ``train_fpl_uda`` is set.
+* ``NiftyDatasetDual`` (:14-104): ``pixel_weight_nonl`` column loaded into
+  the ``image1`` slot.
+* ``ClassificationDataset`` (:327-379): scalar labels from a ``label``
+  column.
+* ``H5Dataset`` (h5_dataset.py:12-45).
+
+Datasets are plain indexable objects; batching/prefetch live in
+:mod:`fpl_plus_tpu.io.loader`.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+
+from fpl_plus_tpu.io.image_io import load_image_as_nd_array
+
+
+class NiftyDataset:
+    def __init__(self, root_dir: str, csv_file: str, modal_num: int = 1,
+                 with_label: bool = False, transform=None):
+        self.root_dir = root_dir
+        self.csv_items = pd.read_csv(csv_file)
+        self.modal_num = modal_num
+        self.with_label = with_label
+        self.transform = transform
+        keys = list(self.csv_items.keys())
+        self.image_weight_idx = (keys.index('image_weight')
+                                 if 'image_weight' in keys else None)
+        self.pixel_weight_idx = (keys.index('pixel_weight')
+                                 if 'pixel_weight' in keys else None)
+        self.image1_idx = keys.index('image1') if 'image1' in keys else None
+
+    def __len__(self):
+        return len(self.csv_items)
+
+    def _full_path(self, name: str) -> str:
+        return '{0}/{1}'.format(self.root_dir, name)
+
+    def _load_array(self, idx: int, col: int, dtype) -> np.ndarray:
+        name = self._full_path(self.csv_items.iloc[idx, col])
+        return np.asarray(load_image_as_nd_array(name)['data_array'], dtype)
+
+    def _get_label(self, idx: int) -> np.ndarray:
+        col = list(self.csv_items.keys()).index('label')
+        return self._load_array(idx, col, np.int32)
+
+    @staticmethod
+    def compose_weight(image_weight, pixel_weight):
+        """FPL+ weight composition (reference set_weight_,
+        nifty_dataset.py:165-168)."""
+        pixel_weight = np.where(pixel_weight < 1, 0.0, pixel_weight)
+        return (pixel_weight * image_weight).astype(np.float32)
+
+    def __getitem__(self, idx):
+        names_list, image_list = [], []
+        image_dict = None
+        for i in range(self.modal_num):
+            image_name = self.csv_items.iloc[idx, i]
+            image_dict = load_image_as_nd_array(self._full_path(image_name))
+            names_list.append(image_name)
+            image_list.append(image_dict['data_array'])
+        image = np.asarray(np.concatenate(image_list, axis=0), np.float32)
+        sample = {'image': image, 'names': names_list[0],
+                  'origin': image_dict['origin'],
+                  'spacing': image_dict['spacing'],
+                  'direction': image_dict['direction']}
+        if self.with_label:
+            sample['label'] = self._get_label(idx)
+            assert image.shape[1:] == sample['label'].shape[1:]
+        if self.image_weight_idx is not None:
+            sample['image_weight'] = np.float32(
+                self.csv_items.iloc[idx, self.image_weight_idx])
+            if self.pixel_weight_idx is None:
+                sample['pixel_weight'] = self.compose_weight(
+                    sample['image_weight'], np.ones_like(image))
+        if self.pixel_weight_idx is not None:
+            try:
+                pw = self._load_array(idx, self.pixel_weight_idx, np.float32)
+                sample['pixel_weight'] = self.compose_weight(
+                    sample.get('image_weight', np.float32(1.0)), pw)
+            except Exception:
+                logging.warning(
+                    'pixel weight unreadable for item %d (%s); falling back '
+                    'to constant 0.5 map (reference nifty_dataset.py:197-203)',
+                    idx, self.csv_items.iloc[idx, self.pixel_weight_idx])
+                sample['pixel_weight'] = np.ones_like(image) * 0.5
+            assert image.shape[1:] == sample['pixel_weight'].shape[1:]
+        if self.image1_idx is not None:
+            try:
+                sample['image1'] = self._load_array(idx, self.image1_idx,
+                                                    np.float32)
+            except Exception:
+                sample['image1'] = image
+        if self.transform:
+            sample = self.transform(sample)
+        return sample
+
+
+class NiftyDatasetDual(NiftyDataset):
+    """Variant whose ``pixel_weight_nonl`` column feeds the image1 slot
+    (reference nifty_dataset.py:14-104)."""
+
+    def __init__(self, root_dir, csv_file, modal_num=1, with_label=False,
+                 transform=None):
+        super().__init__(root_dir, csv_file, modal_num, with_label, transform)
+        keys = list(self.csv_items.keys())
+        self.image1_idx = (keys.index('pixel_weight_nonl')
+                           if 'pixel_weight_nonl' in keys else None)
+
+
+class NiftyDatasetNpy(NiftyDataset):
+    """Pseudo-label bundle dataset: the ``label`` column points at ``.npy``
+    dict files with ``predict``/``pixel_wise_weight``/``sample_wise_weight``
+    when ``train_fpl_uda`` (reference nifty_dataset.py:220-324)."""
+
+    def __init__(self, root_dir, csv_file, modal_num=1, train_fpl_uda=False,
+                 with_label=False, transform=None):
+        super().__init__(root_dir, csv_file, modal_num, with_label, transform)
+        self.train_fpl_uda = train_fpl_uda
+        self.image_weight_idx = None
+        self.pixel_weight_idx = None
+        self.image1_idx = None
+
+    def __getitem__(self, idx):
+        names_list, image_list = [], []
+        image_dict = None
+        for i in range(self.modal_num):
+            image_name = self.csv_items.iloc[idx, i]
+            image_dict = load_image_as_nd_array(self._full_path(image_name))
+            names_list.append(image_name)
+            image_list.append(image_dict['data_array'])
+        image = np.asarray(np.concatenate(image_list, axis=0), np.float32)
+        sample = {'image': image, 'names': names_list[0],
+                  'origin': image_dict['origin'],
+                  'spacing': image_dict['spacing'],
+                  'direction': image_dict['direction']}
+        if self.with_label:
+            col = list(self.csv_items.keys()).index('label')
+            name = self._full_path(self.csv_items.iloc[idx, col])
+            if self.train_fpl_uda:
+                bundle = load_image_as_nd_array(name).item()
+                sample['label'] = np.asarray(bundle['predict'], np.int32)
+                sample['pixel_weight'] = np.expand_dims(
+                    np.asarray(bundle['pixel_wise_weight'], np.float32), 0)
+                sample['image_weight'] = np.float32(
+                    bundle['sample_wise_weight'])
+            else:
+                sample['label'] = np.asarray(
+                    load_image_as_nd_array(name)['data_array'], np.int32)
+            assert image.shape[1:] == sample['label'].shape[1:]
+        if self.transform:
+            sample = self.transform(sample)
+        return sample
+
+
+class ClassificationDataset(NiftyDataset):
+    """Images with scalar class labels (reference nifty_dataset.py:327-379)."""
+
+    def __init__(self, root_dir, csv_file, modal_num=1, class_num=2,
+                 with_label=False, transform=None):
+        super().__init__(root_dir, csv_file, modal_num, with_label, transform)
+        self.class_num = class_num
+
+    def __getitem__(self, idx):
+        names_list, image_list = [], []
+        for i in range(self.modal_num):
+            image_name = self.csv_items.iloc[idx, i]
+            image_dict = load_image_as_nd_array(self._full_path(image_name))
+            names_list.append(image_name)
+            image_list.append(image_dict['data_array'])
+        image = np.asarray(np.concatenate(image_list, axis=0), np.float32)
+        sample = {'image': image, 'names': names_list[0]}
+        if self.with_label:
+            col = list(self.csv_items.keys()).index('label')
+            sample['label'] = np.int64(self.csv_items.iloc[idx, col])
+        if self.transform:
+            sample = self.transform(sample)
+        return sample
+
+
+class H5Dataset:
+    """HDF5 image/label pairs (reference h5_dataset.py:12-45)."""
+
+    def __init__(self, root_dir: str, sample_list_name: str, transform=None):
+        self.root_dir = root_dir
+        with open(sample_list_name) as f:
+            self.sample_list = [line.strip() for line in f if line.strip()]
+        self.transform = transform
+
+    def __len__(self):
+        return len(self.sample_list)
+
+    def __getitem__(self, idx):
+        import h5py
+        name = self.sample_list[idx]
+        with h5py.File(os.path.join(self.root_dir, name), 'r') as h5f:
+            sample = {'image': np.asarray(h5f['image'], np.float32),
+                      'label': np.asarray(h5f['label'], np.int32),
+                      'names': name}
+        if self.transform:
+            sample = self.transform(sample)
+        return sample

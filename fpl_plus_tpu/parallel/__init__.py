@@ -1,0 +1,6 @@
+from fpl_plus_tpu.parallel.mesh import (make_mesh, replicate, shard_batch,
+                                        make_sharded_train_step,
+                                        sharded_sliding_window)
+
+__all__ = ['make_mesh', 'replicate', 'shard_batch', 'make_sharded_train_step',
+           'sharded_sliding_window']

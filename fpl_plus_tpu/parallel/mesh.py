@@ -1,0 +1,104 @@
+"""Device-mesh scale-out (data parallelism + spatial patch parallelism).
+
+The reference's only parallelism is single-process ``nn.DataParallel``
+(PyMIC/pymic/net_run_dsbn/agent_seg.py:693-698: replicate + scatter/gather
+each step). The TPU-native equivalents here:
+
+* **DP**: batch sharded over a 1-D ``('data',)`` mesh via NamedSharding;
+  the jitted train step runs SPMD — XLA inserts the gradient ``psum`` over
+  ICI automatically because the loss is a mean over the sharded batch axis.
+* **Spatial parallelism** (the volumetric analog of sequence parallelism,
+  SURVEY.md section 5.7): the sliding-window patch grid is sharded across
+  devices with ``shard_map``; every device accumulates its windows into a
+  local copy of the output volume and the overlap sums are combined with a
+  single ``psum`` over ICI.
+
+Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh`` —
+everything below works unchanged on a multi-host mesh (DCN only carries the
+final psum/checkpoint traffic).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = 'data') -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(tree, mesh: Mesh, axis: str = 'data'):
+    """Shard every leaf on its leading (batch) axis."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def make_sharded_train_step(train_step: Callable, mesh: Mesh,
+                            axis: str = 'data') -> Callable:
+    """Wrap a jitted train step with state-replicated / batch-sharded
+    shardings. The caller must place state/batches accordingly
+    (``replicate`` / ``shard_batch``); jit then propagates the SPMD
+    partitioning and inserts the grad all-reduce."""
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis))
+
+    def sharded(state, batches, rng):
+        batches = jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(x, data), batches)
+        return train_step(state, batches, rng)
+
+    return jax.jit(sharded, donate_argnums=(0,),
+                   in_shardings=(repl, data, repl),
+                   out_shardings=(repl, repl))
+
+
+def sharded_sliding_window(predictor: Callable, window: Tuple[int, ...],
+                           mesh: Mesh, chunk: int = 1, axis: str = 'data'):
+    """Build a multi-device sliding-window program.
+
+    ``ctx`` (model variables etc.) and ``volume_v [V, *img, C]`` are
+    replicated; ``starts [P, dim]`` is sharded over the mesh (P must be a
+    multiple of n_devices * chunk — pad with duplicate starts, the counter
+    absorbs them). Each device accumulates its windows locally; one ``psum``
+    over ICI merges output and counter.
+
+    Returns fn(ctx, volume_v, starts) -> (output [V,*img,K], counter [*img,1]).
+    """
+    from fpl_plus_tpu.engine.infer import _sliding_window_jit
+    try:
+        from jax import shard_map
+    except ImportError:   # older jax
+        from jax.experimental.shard_map import shard_map
+
+    n_dev = mesh.shape[axis]
+
+    def local(ctx, volume_v, starts):
+        out, cnt = _sliding_window_jit(predictor, ctx, volume_v, starts,
+                                       window, chunk)
+        out = jax.lax.psum(out, axis)
+        cnt = jax.lax.psum(cnt, axis)
+        return out, cnt
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(), P(), P(axis)),
+                   out_specs=(P(), P()))
+
+    def run(ctx, volume_v, starts):
+        assert starts.shape[0] % (n_dev * chunk) == 0, \
+            'pad the start grid to a multiple of n_devices * chunk'
+        return jax.jit(fn)(ctx, volume_v, starts)
+
+    return run

@@ -10,6 +10,12 @@ flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
 
+# the TPU-tunnel sitecustomize (PYTHONPATH=/root/.axon_site) registers and
+# initializes the axon backend at interpreter start, before this file runs —
+# the env vars alone are too late; force the platform at the config level too.
+import jax
+jax.config.update('jax_platforms', 'cpu')
+
 import numpy as np
 import pytest
 

@@ -1,0 +1,167 @@
+"""End-to-end pipeline tests through the CLI (the reference's fixture-dataset
+integration mechanism, SURVEY.md section 4): train a tiny dual-domain
+UNet2D5_dsbn for a few iterations on synthetic NIfTI volumes, auto-test with
+sliding-window+TTA inference, auto-evaluate -> all artifacts (checkpoints,
+pointer files, predictions, eval CSVs, scalar curves) must appear."""
+import os
+
+import numpy as np
+import pytest
+
+from fpl_plus_tpu.io.nifti import ImageGeometry, NiftiImage, write_nifti
+
+
+@pytest.fixture(scope='module')
+def e2e_workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp('e2e')
+    rs = np.random.RandomState(11)
+    geom = ImageGeometry(origin=(0., 0., 0.), spacing=(1.0, 1.0, 1.5),
+                         direction=(1, 0, 0, 0, 1, 0, 0, 0, 1))
+    for sub in ('d0', 'd1'):
+        os.makedirs(root / sub / 'img', exist_ok=True)
+        os.makedirs(root / sub / 'lab', exist_ok=True)
+        for case in range(2):
+            vol = rs.normal(0, 1, size=(12, 24, 24)).astype(np.float32)
+            lab = np.zeros((12, 24, 24), np.int16)
+            lab[4:8, 8:16, 8:16] = 1
+            vol[4:8, 8:16, 8:16] += 3.0   # learnable bright cube
+            name = 'case{0}.nii.gz'.format(case)
+            write_nifti(NiftiImage(vol, geom), str(root / sub / 'img' / name))
+            write_nifti(NiftiImage(lab, geom), str(root / sub / 'lab' / name))
+    # manifests
+    for sub in ('d0', 'd1'):
+        for split in ('train', 'valid'):
+            with open(root / '{0}_{1}.csv'.format(sub, split), 'w') as f:
+                f.write('image,label\n')
+                f.write('{0}/img/case0.nii.gz,{0}/lab/case0.nii.gz\n'.format(sub))
+                if split == 'train':
+                    f.write('{0}/img/case1.nii.gz,{0}/lab/case1.nii.gz\n'.format(sub))
+    with open(root / 'test.csv', 'w') as f:
+        f.write('image\nd1/img/case1.nii.gz\n')
+    with open(root / 'pairs.csv', 'w') as f:
+        f.write('gt,seg\nd1/lab/case1.nii.gz,case1.nii.gz\n')
+    return root
+
+
+def _write_cfg(root) -> str:
+    cfg = """
+[dataset]
+task_type = seg
+root_dir = {root}
+modal_num = 1
+1_train_csv = {root}/d0_train.csv
+2_train_csv = {root}/d1_train.csv
+1_valid_csv = {root}/d0_valid.csv
+2_valid_csv = {root}/d1_valid.csv
+test_csv = {root}/test.csv
+train_batch_size = 2
+num_workder = 0
+train_transform = [NormalizeWithMeanStd, Pad, RandomCrop, LabelToProbability]
+valid_transform = [NormalizeWithMeanStd, Pad, LabelToProbability]
+test_transform = [NormalizeWithMeanStd, Pad]
+NormalizeWithMeanStd_channels = [0]
+Pad_output_size = [8, 16, 16]
+RandomCrop_output_size = [8, 16, 16]
+RandomCrop_foreground_focus = False
+RandomCrop_foreground_ratio = 0.5
+RandomCrop_mask_label = [1]
+
+[network]
+net_type = UNet2D5_dsbn
+num_domains = 2
+class_num = 2
+in_chns = 1
+feature_chns = [4, 8, 8, 8, 8]
+conv_dims = [2, 2, 3, 3, 3]
+dropout = [0.0, 0.0, 0.0, 0.0, 0.0]
+bilinear = False
+
+[training]
+gpus = [0]
+dual = True
+dis = False
+train_fpl_uda = False
+val_t1 = False
+val_t2 = True
+loss_type = DiceLoss
+optimizer = Adam
+learning_rate = 1e-3
+momentum = 0.9
+weight_decay = 0.0
+lr_scheduler = MultiStepLR
+lr_gamma = 0.5
+lr_milestones = [40]
+iter_start = 0
+iter_max = 6
+iter_valid = 3
+iter_save = 3
+ckpt_save_dir = {root}/model/run1
+
+[testing]
+gpus = [0]
+ckpt_mode = 1
+domian_label = 1
+fpl = False
+ae = False
+output_dir = {root}/result
+sliding_window_enable = True
+sliding_window_size = [8, 16, 16]
+sliding_window_stride = [8, 16, 16]
+tta_mode = 1
+
+[evaluation]
+metric_1 = dice
+metric_2 = assd
+label_list = [1]
+organ_name = tumor
+ground_truth_folder_root = {root}
+test_evaluation_image_pair = {root}/pairs.csv
+valid_evaluation_image_pair = {root}/pairs.csv
+""".format(root=root)
+    path = root / 'exp.cfg'
+    path.write_text(cfg)
+    return str(path)
+
+
+def test_cli_train_test_eval(e2e_workspace):
+    from fpl_plus_tpu.cli import main
+    cfg_file = _write_cfg(e2e_workspace)
+    rc = main(['train', cfg_file])
+    assert rc == 0
+    ckpt_dir = e2e_workspace / 'model' / 'run1'
+    assert (ckpt_dir / 'run1_latest.txt').exists()
+    assert (ckpt_dir / 'run1_best.txt').exists()
+    best_it = (ckpt_dir / 'run1_best.txt').read_text().strip()
+    assert (ckpt_dir / 'run1_{0}.ckpt'.format(best_it)).exists()
+    assert (ckpt_dir / 'scalars.jsonl').exists()
+    out_dir = e2e_workspace / 'result' / 'run1_test'
+    assert (out_dir / 'case1.nii.gz').exists()
+    # saved prediction is a label volume in the original geometry
+    from fpl_plus_tpu.io.image_io import load_image_as_nd_array
+    seg = load_image_as_nd_array(str(out_dir / 'case1.nii.gz'))
+    assert seg['data_array'].shape[1:] == (12, 24, 24)
+    assert set(np.unique(seg['data_array'])) <= {0, 1}
+    # eval CSVs in eva_main format
+    dice_csv = out_dir / 'test_tumor_dice_all.csv'
+    assert dice_csv.exists()
+    lines = dice_csv.read_text().strip().split('\n')
+    assert lines[0] == 'image,class_1'
+    assert lines[-2].startswith('mean,')
+
+
+def test_cli_test_stage_reuses_best_ckpt(e2e_workspace):
+    """Run the test stage standalone against the checkpoints written by the
+    training test (ckpt_mode=1 -> _best.txt resolution)."""
+    from fpl_plus_tpu.cli import main
+    cfg_file = str(e2e_workspace / 'exp.cfg')
+    assert (e2e_workspace / 'model' / 'run1' / 'run1_best.txt').exists()
+    rc = main(['test', cfg_file])
+    assert rc == 0
+    assert (e2e_workspace / 'result' / 'run1_test' / 'case1.nii.gz').exists()
+
+
+def test_cli_bad_args():
+    from fpl_plus_tpu.cli import main
+    assert main([]) == 1
+    with pytest.raises(ValueError):
+        main(['train', '/nonexistent/exp.cfg'])

@@ -1,0 +1,218 @@
+"""Engine tests: sliding-window parity vs a naive reference loop, train-step
+learning + DSBN bank isolation, optimizer schedule parity, and the 8-device
+CPU-mesh sharded paths."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fpl_plus_tpu.engine.infer import Inferer, window_grid
+from fpl_plus_tpu.engine.optim import (PlateauScheduler, create_lr_schedule,
+                                       create_optimizer)
+from fpl_plus_tpu.engine.train import (create_train_state, make_eval_step,
+                                       make_train_step)
+from fpl_plus_tpu.losses import SegLossDict
+
+
+class LinearPredictor:
+    """Hashable per-voxel linear 'network' for inferer tests."""
+
+    def __init__(self, w):
+        self.w = tuple(map(tuple, w))
+
+    def __call__(self, ctx, x):
+        return jnp.einsum('...c,ck->...k', x, jnp.asarray(self.w))
+
+    def __hash__(self):
+        return hash(self.w)
+
+    def __eq__(self, other):
+        return isinstance(other, LinearPredictor) and self.w == other.w
+
+
+def _naive_sliding_window(img, w_mat, win, strd, tta):
+    vol = img[0]
+    shape = vol.shape[1:]
+    starts = window_grid(shape, win, strd)
+    k = w_mat.shape[1]
+
+    def sw(v):
+        out = np.zeros((k,) + shape, np.float32)
+        cnt = np.zeros((1,) + shape, np.float32)
+        for s in starts:
+            sl = (slice(None),) + tuple(slice(a, a + b) for a, b in zip(s, win))
+            out[sl] += np.einsum('c...,ck->k...', v[sl[0:1] + sl[1:]], w_mat)
+            cnt[(slice(None),) + sl[1:]] += 1
+        return out / cnt
+
+    if not tta:
+        return sw(vol)[None]
+    o1 = sw(vol)
+    o2 = np.flip(sw(np.flip(vol, 2).copy()), 2)
+    o3 = np.flip(sw(np.flip(vol, 3).copy()), 3)
+    o4 = np.flip(sw(np.flip(vol, (2, 3)).copy()), (2, 3))
+    return ((o1 + o2 + o3 + o4) / 4)[None]
+
+
+@pytest.mark.parametrize('tta', [False, True])
+def test_sliding_window_parity(rng, tta):
+    w_mat = rng.normal(size=(1, 2)).astype(np.float32)
+    predictor = LinearPredictor(w_mat)
+    img = rng.normal(size=(1, 1, 11, 20, 17)).astype(np.float32)
+    cfg = {'sliding_window_enable': True, 'sliding_window_size': [4, 8, 8],
+           'sliding_window_stride': [3, 6, 5], 'tta_mode': int(tta)}
+    out = Inferer(cfg, patch_chunk=3).run(predictor, None, img)
+    ref = _naive_sliding_window(img, w_mat, [4, 8, 8], [3, 6, 5], tta)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_window_grid_matches_reference_rule():
+    # 28-stride grid on depth 40: starts 0 and clamped 12 (reference
+    # infer_func.py:75-85)
+    starts = window_grid([40, 160, 272], [28, 128, 128], [28, 128, 128])
+    d_starts = sorted(set(s[0] for s in starts))
+    assert d_starts == [0, 12]
+    h_starts = sorted(set(s[1] for s in starts))
+    assert h_starts == [0, 32]
+    w_starts = sorted(set(s[2] for s in starts))
+    assert w_starts == [0, 128, 144]
+
+
+def _toy_setup(num_domains=2):
+    from fpl_plus_tpu.models.registry import create_network, init_network
+    cfg = {'net_type': 'UNet2D5_dsbn', 'num_domains': num_domains,
+           'class_num': 2, 'in_chns': 1, 'feature_chns': [4, 8, 8, 8, 8],
+           'conv_dims': [2, 2, 3, 3, 3], 'dropout': [0, 0, 0, 0, 0],
+           'bilinear': False}
+    mod = create_network(cfg)
+    params, batch_stats = init_network(mod, cfg)
+    optimizer = create_optimizer(
+        {'optimizer': 'Adam', 'learning_rate': 1e-2, 'momentum': 0.9,
+         'weight_decay': 0.0}, {'lr_scheduler': None})
+    state = create_train_state(params, batch_stats, optimizer)
+    return mod, optimizer, state
+
+
+def _toy_batch(rs, n=2, seed_shift=0):
+    x = rs.normal(size=(n, 8, 16, 16, 1)).astype(np.float32)
+    y = (x[..., 0] > 0).astype(np.int32)
+    label_prob = np.eye(2, dtype=np.float32)[y]
+    return {'image': jnp.asarray(x), 'label_prob': jnp.asarray(label_prob)}
+
+
+def test_train_step_learns_and_isolates_dsbn_banks():
+    mod, optimizer, state = _toy_setup()
+    loss_calc = SegLossDict['DiceLoss']({})
+    step = make_train_step(mod.apply, loss_calc, optimizer, num_domains=2,
+                           joint=True)
+    rs = np.random.RandomState(0)
+    b0, b1 = _toy_batch(rs), _toy_batch(rs)
+    bs_before = jax.tree_util.tree_map(np.asarray, state.batch_stats)
+    losses = []
+    for i in range(12):
+        state, metrics = step(state, (b0, b1), jax.random.PRNGKey(i))
+        losses.append(float(metrics['loss']))
+    assert losses[-1] < losses[0] - 0.05, losses
+    # both DSBN banks moved (domain 0 and 1 each saw data)
+    leaf = jax.tree_util.tree_leaves(state.batch_stats)[0]
+    assert leaf.shape[0] == 2
+    assert not np.allclose(np.asarray(leaf)[0],
+                           jax.tree_util.tree_leaves(bs_before)[0][0])
+    assert not np.allclose(np.asarray(leaf)[1],
+                           jax.tree_util.tree_leaves(bs_before)[0][1])
+
+
+def test_alternating_step_runs():
+    mod, optimizer, state = _toy_setup()
+    loss_calc = SegLossDict['DiceLoss']({})
+    step = make_train_step(mod.apply, loss_calc, optimizer, num_domains=2,
+                           joint=False, entropy_coeff=1.0)
+    rs = np.random.RandomState(1)
+    state, metrics = step(state, (_toy_batch(rs), _toy_batch(rs)),
+                          jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics['loss']))
+    assert int(state.step) == 1
+
+
+def test_eval_step_per_sample_dice():
+    mod, optimizer, state = _toy_setup()
+    loss_calc = SegLossDict['DiceLoss']({})
+    eval_step = make_eval_step(mod.apply, loss_calc)
+    rs = np.random.RandomState(2)
+    batch = _toy_batch(rs, n=3)
+    loss, dice = eval_step(state.params, state.batch_stats, batch,
+                           jnp.int32(0))
+    assert dice.shape == (3, 2)
+    assert np.isfinite(float(loss))
+
+
+def test_multistep_schedule_parity():
+    sched = create_lr_schedule({'lr_scheduler': 'MultiStepLR',
+                                'learning_rate': 1e-4, 'lr_gamma': 0.5,
+                                'lr_milestones': [10000, 20000, 30000, 40000],
+                                'last_iter': -1})
+    assert abs(float(sched(0)) - 1e-4) < 1e-9
+    assert abs(float(sched(10000)) - 5e-5) < 1e-9
+    assert abs(float(sched(25000)) - 2.5e-5) < 1e-9
+    # resume at 40000 (vs_t1s_S.cfg): all milestones passed
+    sched2 = create_lr_schedule({'lr_scheduler': 'MultiStepLR',
+                                 'learning_rate': 1e-4, 'lr_gamma': 0.5,
+                                 'lr_milestones': [10000, 20000, 30000, 40000],
+                                 'last_iter': 40000})
+    assert abs(float(sched2(0)) - 1e-4 * 0.5 ** 4) < 1e-9
+
+
+def test_plateau_scheduler():
+    ps = PlateauScheduler({'lr_scheduler': 'ReduceLROnPlateau',
+                           'lr_gamma': 0.5, 'reducelronplateau_patience': 1000,
+                           'iter_valid': 500})
+    assert ps.step(0.5) == 1.0
+    assert ps.step(0.6) == 1.0
+    assert ps.step(0.6) == 1.0   # bad 1
+    assert ps.step(0.6) == 1.0   # bad 2
+    assert ps.step(0.6) == 0.5   # bad 3 > patience 2
+    assert ps.step(0.7) == 0.5   # recovers best tracking
+
+
+def test_sharded_train_step_8_devices():
+    from fpl_plus_tpu.parallel import (make_mesh, make_sharded_train_step,
+                                       replicate, shard_batch)
+    assert jax.device_count() >= 8
+    mesh = make_mesh(8)
+    mod, optimizer, state = _toy_setup()
+    loss_calc = SegLossDict['DiceLoss']({})
+    step = make_train_step(mod.apply, loss_calc, optimizer, num_domains=2,
+                           joint=True)
+
+    def plain_step(s, batches, rng):
+        return step(s, batches, rng)
+
+    sharded = make_sharded_train_step(plain_step, mesh)
+    rs = np.random.RandomState(3)
+    b0, b1 = _toy_batch(rs, n=8), _toy_batch(rs, n=8)
+    state_r = replicate(state, mesh)
+    batches = shard_batch((b0, b1), mesh)
+    rng = replicate(jax.random.PRNGKey(0), mesh)
+    new_state, metrics = sharded(state_r, batches, rng)
+    assert np.isfinite(float(metrics['loss']))
+    assert int(new_state.step) == 1
+
+
+def test_sharded_sliding_window_parity(rng):
+    from fpl_plus_tpu.parallel import make_mesh, sharded_sliding_window
+    mesh = make_mesh(8)
+    w_mat = rng.normal(size=(1, 2)).astype(np.float32)
+    predictor = LinearPredictor(w_mat)
+    img = rng.normal(size=(1, 1, 11, 20, 17)).astype(np.float32)
+    win, strd = (4, 8, 8), (3, 6, 5)
+    vol = jnp.asarray(np.moveaxis(img[0], 0, -1))
+    starts = window_grid(vol.shape[:-1], win, strd)
+    pad = (-len(starts)) % 8
+    if pad:
+        starts = np.concatenate([starts, starts[:pad]], 0)
+    run = sharded_sliding_window(predictor, win, mesh, chunk=1)
+    out_v, cnt = run(None, vol[None], jnp.asarray(starts))
+    out = np.moveaxis(np.asarray(out_v[0] / cnt), -1, 0)[None]
+    ref = _naive_sliding_window(img, w_mat, list(win), list(strd), False)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
