@@ -103,6 +103,29 @@ class SegmentationAgent(NetRunAgent):
                     np.asarray(data['image_weight'], np.float32))
         return batch
 
+    # -- paradigm hooks (overridden by ssl/wsl/nll agents) ------------------
+    def build_train_step(self, optimizer, loss_calc):
+        """Default: supervised/dual-domain step. Reference semantics:
+        dual=True -> joint loss (training_all); otherwise per-domain
+        alternating steps with the entropy regulariser."""
+        return make_train_step(
+            self.module.apply, loss_calc, optimizer,
+            num_domains=self.num_domains, joint=self.dual,
+            fpl_uda=self.fpl_uda,
+            entropy_coeff=1.0 if (self.use_entropy and not self.dual) else 0.0)
+
+    def init_extra_state(self, state: TrainState) -> TrainState:
+        """Attach paradigm state (e.g. EMA teacher params) before training."""
+        return state
+
+    def next_train_batches(self, train_iters):
+        return tuple(self._batch_to_device(next(it)) for it in train_iters)
+
+    def training_hyper(self, glob_it: int):
+        """Per-iteration traced hyperparameters (e.g. ramped consistency
+        weight) or None for the plain supervised step."""
+        return None
+
     def train_valid(self):
         cfg_t = self.config['training']
         ckpt_dir = cfg_t['ckpt_save_dir']
@@ -144,13 +167,8 @@ class SegmentationAgent(NetRunAgent):
             logging.info('resumed from %s', path)
 
         loss_calc = create_loss_calculator(self.config, self.loss_dict)
-        # reference semantics: dual=True -> joint loss (training_all);
-        # otherwise per-domain alternating steps with entropy regulariser
-        train_step = make_train_step(
-            self.module.apply, loss_calc, optimizer,
-            num_domains=self.num_domains, joint=self.dual,
-            fpl_uda=self.fpl_uda,
-            entropy_coeff=1.0 if (self.use_entropy and not self.dual) else 0.0)
+        train_step = self.build_train_step(optimizer, loss_calc)
+        state = self.init_extra_state(state)
 
         writer = ScalarWriter(ckpt_dir)
         train_iters = [repeat_loader(ld) for ld in self.train_loaders]
@@ -161,22 +179,34 @@ class SegmentationAgent(NetRunAgent):
         for block_start in range(iter_start, iter_max, iter_valid):
             lr_value = self._current_lr(state)
             t0 = time.time()
-            dice_acc = [[] for _ in range(self.num_domains)]
-            loss_acc = []
-            for _ in range(iter_valid):
-                batches = tuple(self._batch_to_device(next(it))
-                                for it in train_iters)
+            scalar_acc = {}
+            dice_acc = {}
+            for sub_it in range(iter_valid):
+                self.glob_it = block_start + sub_it
+                batches = self.next_train_batches(train_iters)
                 rng, sub = jax.random.split(rng)
-                state, metrics = train_step(state, batches, sub)
-                loss_acc.append(metrics['loss'])
-                for d in range(self.num_domains):
-                    dice_acc[d].append(metrics['class_dice_{0}'.format(d)])
-            train_loss = float(np.mean([float(x) for x in loss_acc]))
-            cls_dice = [np.mean(np.asarray(acc), axis=0) for acc in dice_acc]
+                hyper = self.training_hyper(self.glob_it)
+                if hyper is None:
+                    state, metrics = train_step(state, batches, sub)
+                else:
+                    state, metrics = train_step(
+                        state, batches, sub,
+                        {k: jnp.float32(v) for k, v in hyper.items()})
+                    for k, v in hyper.items():
+                        scalar_acc.setdefault(k, []).append(v)
+                for k, v in metrics.items():
+                    if k.startswith('class_dice'):
+                        dice_acc.setdefault(k, []).append(v)
+                    else:
+                        scalar_acc.setdefault(k, []).append(v)
+            train_scalars = {k: float(np.mean([float(x) for x in v]))
+                             for k, v in scalar_acc.items()}
+            cls_dice = [np.mean(np.asarray(acc), axis=0)
+                        for acc in dice_acc.values()]
             train_cls_dice = np.mean(cls_dice, axis=0)
-            train_scalars = {'loss': train_loss,
-                             'avg_dice': float(train_cls_dice.mean()),
-                             'class_dice': train_cls_dice}
+            train_scalars['avg_dice'] = float(train_cls_dice.mean())
+            train_scalars['class_dice'] = train_cls_dice
+            train_loss = train_scalars['loss']
             t1 = time.time()
             valid_scalars = self.validation(state)
             t2 = time.time()
@@ -251,6 +281,10 @@ class SegmentationAgent(NetRunAgent):
                                     'valid': valid_scalars['avg_dice']},
                            glob_it)
         writer.add_scalar('lr', lr_value, glob_it)
+        for key in train_scalars:
+            if key in ('loss', 'avg_dice', 'class_dice'):
+                continue
+            writer.add_scalars(key, {'train': train_scalars[key]}, glob_it)
         for c in range(class_num):
             writer.add_scalars('class_{0}_dice'.format(c), {
                 'train': float(train_scalars['class_dice'][c]),

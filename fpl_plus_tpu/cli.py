@@ -77,6 +77,54 @@ def main(argv=None):
     return 0
 
 
+def _paradigm_main(argv, section, method_key, registry_getter, usage):
+    argv = argv if argv is not None else sys.argv[1:]
+    if len(argv) < 2:
+        print('Number of arguments should be 3. e.g.\n   ' + usage)
+        return 1
+    stage, cfg_file = argv[0], argv[1]
+    config = parse_config(cfg_file)
+    config = synchronize_config(config)
+    log_dir = config['training']['ckpt_save_dir']
+    os.makedirs(log_dir, exist_ok=True)
+    _setup_logging('{0}/log_{1}.txt'.format(log_dir, stage))
+    logging_config(config)
+    method = config[section][method_key]
+    registry = registry_getter()
+    if method not in registry:
+        raise ValueError('Undefined {0} method {1}'.format(section, method))
+    agent = registry[method](config, stage)
+    agent.run()
+    return 0
+
+
+def main_ssl(argv=None):
+    """pymic_ssl equivalent (reference net_run_ssl/ssl_main.py:23-48)."""
+    def reg():
+        from fpl_plus_tpu.agents.ssl import SSLMethodDict
+        return SSLMethodDict
+    return _paradigm_main(argv, 'semi_supervised_learning', 'ssl_method',
+                          reg, 'fpl-ssl train config.cfg')
+
+
+def main_wsl(argv=None):
+    """pymic_wsl equivalent (reference net_run_wsl/wsl_main.py)."""
+    def reg():
+        from fpl_plus_tpu.agents.wsl import WSLMethodDict
+        return WSLMethodDict
+    return _paradigm_main(argv, 'weakly_supervised_learning', 'wsl_method',
+                          reg, 'fpl-wsl train config.cfg')
+
+
+def main_nll(argv=None):
+    """pymic_nll equivalent (reference net_run_nll/nll_main.py)."""
+    def reg():
+        from fpl_plus_tpu.agents.nll import NLLMethodDict
+        return NLLMethodDict
+    return _paradigm_main(argv, 'noisy_label_learning', 'nll_method',
+                          reg, 'fpl-nll train config.cfg')
+
+
 def main_eval_seg(argv=None):
     """pymic_eval_seg-compatible CLI (evaluation only)."""
     argv = argv if argv is not None else sys.argv[1:]

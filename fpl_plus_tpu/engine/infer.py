@@ -197,16 +197,30 @@ class Inferer:
             if stride[d] is None or stride[d] > window[d]:
                 stride[d] = window[d]
 
-        variants = _make_variants(vol, tta)
         if not use_sw or all(window[d] >= img_shape[d] for d in range(dim)):
-            out = _whole_volume_jit(predictor, ctx, variants, tta)
+            # whole-volume path: pad spatial dims to a multiple of the
+            # network's total downsampling factor so odd sizes survive the
+            # encoder/decoder (the reference torch nets crash on such
+            # inputs; configurable via ``infer_autopad_multiple``).
+            # Padding happens BEFORE the flip variants so un-flipping stays
+            # aligned on the padded grid.
+            mult = self.config.get('infer_autopad_multiple', 16)
+            pads = [(-s) % mult for s in img_shape]
+            if any(pads):
+                vol = jnp.pad(vol, [(0, p) for p in pads] + [(0, 0)],
+                              mode='reflect')
+            out = _whole_volume_jit(predictor, ctx, _make_variants(vol, tta),
+                                    tta)
+            if any(pads):
+                out = out[tuple(slice(0, s) for s in img_shape)]
         else:
             starts = window_grid(img_shape, window, stride)
             chunk = min(self.patch_chunk, len(starts))
             pad = (-len(starts)) % chunk
             if pad:   # duplicate starts round out the last chunk; the counter
                 starts = np.concatenate([starts, starts[:pad]], 0)  # absorbs it
-            out_v, cnt = _sliding_window_jit(predictor, ctx, variants,
+            out_v, cnt = _sliding_window_jit(predictor, ctx,
+                                             _make_variants(vol, tta),
                                              jnp.asarray(starts),
                                              tuple(window), chunk)
             out = _unflip_mean(out_v / cnt[None], tta)

@@ -39,12 +39,16 @@ class TrainState(struct.PyTreeNode):
     params: Any
     batch_stats: Any
     opt_state: Any
+    # paradigm-specific traced state (e.g. EMA teacher params); None for
+    # plain supervised training
+    extra: Any = None
 
 
-def create_train_state(params, batch_stats, optimizer) -> TrainState:
+def create_train_state(params, batch_stats, optimizer,
+                       extra=None) -> TrainState:
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       batch_stats=batch_stats,
-                      opt_state=optimizer.init(params))
+                      opt_state=optimizer.init(params), extra=extra)
 
 
 def entropy_log2(logits: jnp.ndarray) -> jnp.ndarray:

@@ -114,7 +114,9 @@ def init_network(module, net_cfg: Dict[str, Any], seed: int = 0,
     x = jnp.zeros(example_shape, jnp.float32)
     rngs = {'params': jax.random.PRNGKey(seed),
             'dropout': jax.random.PRNGKey(seed + 1)}
-    variables = module.init(rngs, x, 0, False)
+    # init in train mode so train-only branches (e.g. CCT aux decoders)
+    # materialise their parameters; stats are not updated at init time
+    variables = module.init(rngs, x, 0, True)
     params = variables.get('params', {})
     batch_stats = variables.get('batch_stats', {})
     return params, batch_stats
