@@ -108,15 +108,83 @@ class SegmentationAgent(NetRunAgent):
         """Default: supervised/dual-domain step. Reference semantics:
         dual=True -> joint loss (training_all); otherwise per-domain
         alternating steps with the entropy regulariser."""
-        return make_train_step(
+        base = make_train_step(
             self.module.apply, loss_calc, optimizer,
             num_domains=self.num_domains, joint=self.dual,
             fpl_uda=self.fpl_uda,
             entropy_coeff=1.0 if (self.use_entropy and not self.dual) else 0.0)
+        if not self.config['training'].get('dis', False):
+            return base
+        dis_step = self._build_dis_step()
+
+        def combined(state, batches, rng):
+            state, metrics = base(state, batches, rng)
+            state, dis_metrics = dis_step(state, batches, rng)
+            metrics.update(dis_metrics)
+            return state, metrics
+
+        return combined
+
+    def _build_dis_step(self):
+        """LSGAN output-space discriminator updates (reference
+        agent_seg.py:96-102,373-400): Dis on softmax maps; domain-0
+        predictions and real one-hot labels are 'real' (target 1), domain-1
+        predictions are 'fake' (target 0). Trains only the discriminator —
+        like the reference's runnable path, no adversarial term enters the
+        segmenter loss."""
+        import optax
+        from fpl_plus_tpu.models.unet2d5_dsbn import Dis
+        dis_module = Dis()
+        dis_opt = optax.adam(1e-4, b1=0.5, b2=0.999)
+        apply_fn = self.module.apply
+        self._dis_module = dis_module
+        self._dis_opt = dis_opt
+
+        @jax.jit
+        def dis_step(state, batches, rng):
+            extra = state.extra
+            variables = {'params': state.params,
+                         'batch_stats': state.batch_stats}
+            outs = []
+            for d, batch in enumerate(batches):
+                o = apply_fn(variables, batch['image'], jnp.int32(d), False)
+                o = o[0] if isinstance(o, (tuple, list)) else o
+                outs.append(jax.nn.softmax(jax.lax.stop_gradient(o), -1))
+
+            def dis_loss(dis_params):
+                pred_real = dis_module.apply({'params': dis_params}, outs[0])
+                real = dis_module.apply({'params': dis_params},
+                                        batches[0]['label_prob'])
+                loss_d0 = (jnp.mean((pred_real - 1.0) ** 2)
+                           + jnp.mean((real - 1.0) ** 2)) / 2.0
+                loss_d1 = 0.0
+                if len(outs) > 1:
+                    pred_fake = dis_module.apply({'params': dis_params},
+                                                 outs[1])
+                    loss_d1 = jnp.mean(pred_fake ** 2)
+                return loss_d0 + loss_d1
+
+            loss, grads = jax.value_and_grad(dis_loss)(extra['dis_params'])
+            updates, dis_opt_state = dis_opt.update(grads, extra['dis_opt'])
+            new_extra = {'dis_params': optax.apply_updates(
+                extra['dis_params'], updates), 'dis_opt': dis_opt_state}
+            return state.replace(extra=new_extra), {'loss_dis': loss}
+
+        return dis_step
 
     def init_extra_state(self, state: TrainState) -> TrainState:
-        """Attach paradigm state (e.g. EMA teacher params) before training."""
-        return state
+        if not self.config['training'].get('dis', False):
+            return state
+        import optax
+        from fpl_plus_tpu.models.unet2d5_dsbn import Dis
+        dis_module = Dis()
+        class_num = self.config['network']['class_num']
+        x = jnp.zeros((1, 8, 32, 32, class_num), jnp.float32)
+        dis_params = dis_module.init(jax.random.PRNGKey(
+            self.random_seed + 7), x)['params']
+        dis_opt = optax.adam(1e-4, b1=0.5, b2=0.999)
+        return state.replace(extra={'dis_params': dis_params,
+                                    'dis_opt': dis_opt.init(dis_params)})
 
     def next_train_batches(self, train_iters):
         return tuple(self._batch_to_device(next(it)) for it in train_iters)
@@ -426,7 +494,8 @@ class SegmentationAgent(NetRunAgent):
         if fpl:
             pairs = sorted(zip(uncertainty_list.values(),
                                uncertainty_list.keys()))
-            np.save(cfg_test['fpl_uncertainty_sorted'], pairs)
+            np.save(cfg_test['fpl_uncertainty_sorted'],
+                    np.asarray(pairs, dtype=object))
             logging.info('FPL uncertainty list saved (%d volumes)',
                          len(pairs))
         if infer_times:

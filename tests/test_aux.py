@@ -1,0 +1,147 @@
+"""Auxiliary subsystems: dis adversarial path, make_noise generators,
+model_operate checkpoint surgery, classification metrics."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_dis_discriminator_step(rng):
+    from fpl_plus_tpu.agents.agent_seg import SegmentationAgent
+    from fpl_plus_tpu.engine.optim import create_optimizer
+    from fpl_plus_tpu.engine.train import create_train_state
+    from fpl_plus_tpu.losses import create_loss_calculator
+    cfg = {
+        'dataset': {'task_type': 'seg'},
+        'network': {'net_type': 'UNet2D5_dsbn', 'num_domains': 2,
+                    'class_num': 2, 'in_chns': 1,
+                    'feature_chns': [2, 4, 4, 4, 4],
+                    'conv_dims': [2, 2, 3, 3, 3], 'dropout': [0] * 5,
+                    'bilinear': False},
+        'training': {'loss_type': 'DiceLoss', 'optimizer': 'Adam',
+                     'learning_rate': 1e-3, 'momentum': 0.9,
+                     'weight_decay': 0.0, 'lr_scheduler': None,
+                     'dual': True, 'dis': True, 'train_fpl_uda': False,
+                     'iter_max': 10},
+        'testing': {},
+    }
+    agent = SegmentationAgent(cfg, 'train')
+    agent.create_network()
+    optimizer = create_optimizer(cfg['training'],
+                                 dict(cfg['training'], last_iter=-1))
+    loss_calc = create_loss_calculator(cfg)
+    state = create_train_state(agent.variables['params'],
+                               agent.variables['batch_stats'], optimizer)
+    state = agent.init_extra_state(state)
+    assert state.extra is not None and 'dis_params' in state.extra
+    step = agent.build_train_step(optimizer, loss_calc)
+
+    def batch():
+        # Dis needs >=24 depth: three stride-2 k=4 convs then two k=4 p=1 convs
+        x = rng.normal(size=(2, 24, 32, 32, 1)).astype(np.float32)
+        y = (x[..., 0] > 0).astype(np.int32)
+        return {'image': jnp.asarray(x),
+                'label_prob': jnp.asarray(np.eye(2, dtype=np.float32)[y])}
+
+    dis_before = jax.tree_util.tree_leaves(state.extra['dis_params'])[0]
+    dis_before = np.asarray(dis_before).copy()
+    state, metrics = step(state, (batch(), batch()), jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics['loss']))
+    assert np.isfinite(float(metrics['loss_dis']))
+    dis_after = np.asarray(
+        jax.tree_util.tree_leaves(state.extra['dis_params'])[0])
+    assert not np.allclose(dis_before, dis_after)   # discriminator trained
+
+
+def test_make_noise_masks(rng):
+    from fpl_plus_tpu.utils.make_noise import (corrupt_label_boundary,
+                                               make_noise_masks_2d,
+                                               make_noise_masks_3d,
+                                               make_roi_mask)
+    shape2d = (2, 32, 32, 3)
+    labels = np.eye(3)[rng.randint(0, 3, shape2d[:3])]
+    blank, wrong = make_noise_masks_2d(shape2d, 'squares_jigsaw', [4, 3],
+                                       True, True, 3, labels, rng)
+    assert blank.shape == shape2d and (blank == 0).any()
+    blank, wrong = make_noise_masks_3d((1, 16, 16, 16, 2), 'squares_zeros',
+                                       [3, 2], 2, None, True, True, rng)
+    assert (wrong[..., 0] == 1).any()
+    lab = np.zeros((12, 24, 24), np.int16)
+    lab[3:9, 6:18, 6:18] = 1
+    noisy = corrupt_label_boundary(lab, (4, 8, 8), 3, rng)
+    assert noisy.shape == lab.shape
+    roi = make_roi_mask(lab, roi_type='bbox', margin=1)
+    assert roi.sum() > lab.sum()
+
+
+def test_model_operate_rename_and_average(tmp_path):
+    from fpl_plus_tpu.engine.ckpt import load_checkpoint, save_checkpoint
+    from fpl_plus_tpu.utils.model_operate import (get_average_model,
+                                                  rename_model_variable)
+    state = {'params': {'layer': {'kernel': np.ones((2, 2), np.float32)}},
+             'batch_stats': {}, 'opt_state': ()}
+    p1 = save_checkpoint(str(tmp_path), 'm', 1, state, 0.5)
+    state2 = {'params': {'layer': {'kernel': 3 * np.ones((2, 2), np.float32)}},
+              'batch_stats': {}, 'opt_state': ()}
+    p2 = save_checkpoint(str(tmp_path), 'm', 2, state2, 0.6)
+
+    avg_path = str(tmp_path / 'avg.ckpt')
+    get_average_model([p1, p2], avg_path)
+    loaded = load_checkpoint(avg_path, state)
+    np.testing.assert_allclose(loaded['state']['params']['layer']['kernel'],
+                               2.0)
+
+    out = str(tmp_path / 'renamed.ckpt')
+    rename_model_variable(p1, out, ['layer/kernel'], ['layer/weight'])
+    from fpl_plus_tpu.utils.model_operate import _load_raw
+    raw = _load_raw(out)
+    assert 'weight' in raw['state']['params']['layer']
+    assert 'kernel' not in raw['state']['params']['layer']
+
+
+def test_cls_metrics(tmp_path):
+    from fpl_plus_tpu.metrics.cls_metrics import (binary_evaluation,
+                                                  get_evaluation_score,
+                                                  roc_auc)
+    gt = np.array([0, 0, 1, 1, 1])
+    prob = np.array([[0.9, 0.1], [0.4, 0.6], [0.2, 0.8], [0.7, 0.3],
+                     [0.1, 0.9]])
+    assert abs(get_evaluation_score(gt, prob, 'accuracy') - 0.6) < 1e-9
+    assert abs(get_evaluation_score(gt, prob, 'sensitivity') - 2 / 3) < 1e-9
+    assert abs(get_evaluation_score(gt, prob, 'specificity') - 0.5) < 1e-9
+    # AUC: scores of positives (.8,.3,.9) vs negatives (.1,.6)
+    auc = roc_auc(gt, prob[:, 1])
+    assert abs(auc - 5 / 6) < 1e-9
+
+    gt_csv = tmp_path / 'gt.csv'
+    gt_csv.write_text('image,label\na,0\nb,0\nc,1\nd,1\ne,1\n')
+    prob_csv = tmp_path / 'prob.csv'
+    lines = ['image,prob0,prob1'] + [
+        '{0},{1},{2}'.format(n, p0, p1)
+        for n, (p0, p1) in zip('abcde', prob)]
+    prob_csv.write_text('\n'.join(lines) + '\n')
+    scores = binary_evaluation({'metric_list': ['accuracy', 'auc'],
+                                'ground_truth_csv': str(gt_csv),
+                                'predict_prob_csv': str(prob_csv)})
+    assert abs(scores['accuracy'] - 0.6) < 1e-9
+    assert abs(scores['auc'] - 5 / 6) < 1e-9
+
+
+def test_offline_preprocess(tmp_path, fixture_dir):
+    from fpl_plus_tpu.utils.preprocess import (get_transform_list,
+                                               preprocess_with_transform)
+    cfg = tmp_path / 'trans.cfg'
+    cfg.write_text("""
+[dataset]
+transform = [NormalizeWithMeanStd]
+NormalizeWithMeanStd_channels = [0]
+""")
+    transforms = get_transform_list(str(cfg))
+    out = tmp_path / 'out.nii.gz'
+    preprocess_with_transform(transforms, str(fixture_dir / 'img.nii.gz'),
+                              str(out))
+    from fpl_plus_tpu.io.image_io import load_image_as_nd_array
+    arr = load_image_as_nd_array(str(out))['data_array']
+    assert abs(float(arr.mean())) < 1e-4
+    assert abs(float(arr.std()) - 1.0) < 1e-3

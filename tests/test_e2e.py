@@ -160,6 +160,26 @@ def test_cli_test_stage_reuses_best_ckpt(e2e_workspace):
     assert (e2e_workspace / 'result' / 'run1_test' / 'case1.nii.gz').exists()
 
 
+def test_fpl_uncertainty_pass(e2e_workspace):
+    """FPL filtering inference (fpl=True): 6 MC-dropout passes per volume,
+    sorted uncertainty .npy (reference agent_seg.py:897-931,954-960)."""
+    from fpl_plus_tpu.agents.agent_seg import SegmentationAgent
+    from fpl_plus_tpu.config.parser import parse_config, synchronize_config
+    cfg_file = str(e2e_workspace / 'exp.cfg')
+    config = synchronize_config(parse_config(cfg_file))
+    config['network']['dropout'] = [0.0, 0.0, 0.3, 0.4, 0.5]
+    config['testing']['fpl'] = True
+    unc_path = str(e2e_workspace / 'unc_sorted.npy')
+    config['testing']['fpl_uncertainty_sorted'] = unc_path
+    agent = SegmentationAgent(config, 'test')
+    agent.run()
+    entries = np.load(unc_path, allow_pickle=True)
+    assert len(entries) == 1
+    unc, name = entries[0]
+    assert name.endswith('case1.nii.gz')
+    assert np.isfinite(float(np.asarray(unc).reshape(-1)[0]))
+
+
 def test_cli_bad_args():
     from fpl_plus_tpu.cli import main
     assert main([]) == 1
