@@ -96,6 +96,8 @@ class SegmentationAgent(NetRunAgent):
     def _batch_to_device(self, data: Dict) -> Dict:
         batch = {'image': to_channels_last(data['image']),
                  'label_prob': to_channels_last(data['label_prob'])}
+        if data.get('image1', None) is not None:
+            batch['image1'] = to_channels_last(data['image1'])
         if self.fpl_uda and data.get('pixel_weight', None) is not None:
             batch['pixel_weight'] = to_channels_last(data['pixel_weight'])
             if data.get('image_weight', None) is not None:
@@ -108,17 +110,24 @@ class SegmentationAgent(NetRunAgent):
         """Default: supervised/dual-domain step. Reference semantics:
         dual=True -> joint loss (training_all); otherwise per-domain
         alternating steps with the entropy regulariser."""
-        base = make_train_step(
-            self.module.apply, loss_calc, optimizer,
-            num_domains=self.num_domains, joint=self.dual,
-            fpl_uda=self.fpl_uda,
-            entropy_coeff=1.0 if (self.use_entropy and not self.dual) else 0.0)
+        if self.config['training'].get('dual_consistency', False):
+            from fpl_plus_tpu.engine.train import make_dual_consistency_step
+            base = make_dual_consistency_step(
+                self.module.apply, loss_calc, optimizer,
+                fpl_uda=self.fpl_uda, entropy_coeff=1.0)
+        else:
+            base = make_train_step(
+                self.module.apply, loss_calc, optimizer,
+                num_domains=self.num_domains, joint=self.dual,
+                fpl_uda=self.fpl_uda,
+                entropy_coeff=1.0 if (self.use_entropy and not self.dual)
+                else 0.0)
         if not self.config['training'].get('dis', False):
             return base
         dis_step = self._build_dis_step()
 
-        def combined(state, batches, rng):
-            state, metrics = base(state, batches, rng)
+        def combined(state, batches, rng, *hyper):
+            state, metrics = base(state, batches, rng, *hyper)
             state, dis_metrics = dis_step(state, batches, rng)
             metrics.update(dis_metrics)
             return state, metrics
@@ -192,6 +201,10 @@ class SegmentationAgent(NetRunAgent):
     def training_hyper(self, glob_it: int):
         """Per-iteration traced hyperparameters (e.g. ramped consistency
         weight) or None for the plain supervised step."""
+        cfg_t = self.config['training']
+        if cfg_t.get('dual_consistency', False):
+            start = cfg_t.get('consistency_start', 1000)
+            return {'consis_gate': float(glob_it > start)}
         return None
 
     def train_valid(self):
@@ -242,6 +255,12 @@ class SegmentationAgent(NetRunAgent):
         train_iters = [repeat_loader(ld) for ld in self.train_loaders]
         rng = jax.random.PRNGKey(self.random_seed)
         glob_it = iter_start
+        # first-class profiling (SURVEY.md section 5.1): set
+        # [training] profile_dir to capture a JAX profiler trace of the
+        # first validation block
+        profile_dir = cfg_t.get('profile_dir', None)
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
         class_num = self.config['network']['class_num']
 
         for block_start in range(iter_start, iter_max, iter_valid):
@@ -276,6 +295,10 @@ class SegmentationAgent(NetRunAgent):
             train_scalars['class_dice'] = train_cls_dice
             train_loss = train_scalars['loss']
             t1 = time.time()
+            if profile_dir and block_start == iter_start:
+                jax.block_until_ready(state.params)
+                jax.profiler.stop_trace()
+                profile_dir = None
             valid_scalars = self.validation(state)
             t2 = time.time()
             glob_it = block_start + iter_valid

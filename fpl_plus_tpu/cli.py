@@ -129,11 +129,30 @@ def main_eval_seg(argv=None):
     """pymic_eval_seg-compatible CLI (evaluation only)."""
     argv = argv if argv is not None else sys.argv[1:]
     if len(argv) < 1:
-        print('Usage: fpl-eval-seg config.cfg')
+        print('Usage: fpl_eval_seg config.cfg')
         return 1
     config = parse_config(argv[0])
     from fpl_plus_tpu.metrics.evaluate import eva_main
     eva_main(config)
+    return 0
+
+
+def main_eval_cls(argv=None):
+    """pymic_eval_cls-compatible CLI (reference util/evaluation_cls.py:
+    159-192): binary or non-exclusive classification metrics from the
+    [evaluation] section."""
+    argv = argv if argv is not None else sys.argv[1:]
+    if len(argv) < 1:
+        print('Usage: fpl_eval_cls config.cfg')
+        return 1
+    config = parse_config(argv[0])['evaluation']
+    from fpl_plus_tpu.metrics.cls_metrics import (binary_evaluation,
+                                                  nexcl_evaluation)
+    task = config.get('task_type', 'cls')
+    if task == 'cls':
+        binary_evaluation(config)
+    else:
+        nexcl_evaluation(config)
     return 0
 
 

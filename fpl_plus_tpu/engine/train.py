@@ -157,6 +157,92 @@ def make_train_step(apply_fn: Callable, loss_calculator: Callable,
     return jax.jit(step, donate_argnums=(0,))
 
 
+def make_dual_consistency_step(apply_fn: Callable, loss_calculator: Callable,
+                               optimizer, fpl_uda: bool = False,
+                               entropy_coeff: float = 1.0):
+    """The reference's ``training_dual_doamian`` variant
+    (net_run_dsbn/agent_seg.py:157-290) with the evidently-intended
+    backward/optimizer steps restored (the snapshot lacks them):
+
+    * domain-0 step: supervised loss on (x0, y0) PLUS on (x1.image1, y1) —
+      the CycleGAN fake-source translation of the target batch trains the
+      source bank with the target labels;
+    * domain-1 step: supervised loss on (x1, y1) plus, once
+      ``consis_gate`` ramps in (reference: after iteration 1000), an MSE
+      consistency between the domain-1 logits and the stop-gradient
+      domain-0 logits of the fake-source translation;
+    * the entropy regulariser from the per-domain path applies to both.
+
+    Batches: (batch0, batch1) where batch1 carries ``image1``. hyper:
+    {'consis_gate': 0.0 or 1.0}.
+    """
+
+    def step(state: TrainState, batches, rng, hyper):
+        batch0, batch1 = batches
+        rngs = jax.random.split(rng, 3)
+        metrics = {}
+
+        # ---- domain-0 optimizer step -----------------------------------
+        def loss_fn0(params):
+            l0, (logits0, bs) = _domain_loss(
+                apply_fn, params, state.batch_stats, batch0, jnp.int32(0),
+                rngs[0], loss_calculator, fpl_uda)
+            fake_batch = {'image': batch1['image1'],
+                          'label_prob': batch1['label_prob']}
+            for k in ('pixel_weight', 'image_weight'):
+                if k in batch1:
+                    fake_batch[k] = batch1[k]
+            l_fake, (_, bs) = _domain_loss(
+                apply_fn, params, bs, fake_batch, jnp.int32(0), rngs[1],
+                loss_calculator, fpl_uda)
+            loss = l0 + l_fake
+            if entropy_coeff:
+                loss = loss + entropy_coeff * entropy_log2(logits0)
+            return loss, (logits0, bs)
+
+        (loss0, (logits0, bs)), grads = jax.value_and_grad(
+            loss_fn0, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        state = state.replace(params=optax.apply_updates(state.params,
+                                                         updates),
+                              batch_stats=bs, opt_state=opt_state)
+        metrics['class_dice_0'] = train_dice(logits0, batch0['label_prob'])
+
+        # ---- domain-1 optimizer step -----------------------------------
+        fake_logits = apply_fn(
+            {'params': state.params, 'batch_stats': state.batch_stats},
+            batch1['image1'], jnp.int32(0), False)
+        if isinstance(fake_logits, (tuple, list)):
+            fake_logits = fake_logits[0]
+        fake_logits = jax.lax.stop_gradient(fake_logits)
+
+        def loss_fn1(params):
+            l1, (logits1, bs) = _domain_loss(
+                apply_fn, params, state.batch_stats, batch1, jnp.int32(1),
+                rngs[2], loss_calculator, fpl_uda)
+            consis = jnp.mean(jnp.square(fake_logits - logits1))
+            loss = l1 + hyper['consis_gate'] * consis
+            if entropy_coeff:
+                loss = loss + entropy_coeff * entropy_log2(logits1)
+            return loss, (logits1, bs, consis)
+
+        (loss1, (logits1, bs, consis)), grads = jax.value_and_grad(
+            loss_fn1, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        state = state.replace(step=state.step + 1,
+                              params=optax.apply_updates(state.params,
+                                                         updates),
+                              batch_stats=bs, opt_state=opt_state)
+        metrics['class_dice_1'] = train_dice(logits1, batch1['label_prob'])
+        metrics['loss'] = (loss0 + loss1) / 2
+        metrics['loss_consis'] = consis
+        return state, metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
 def make_eval_step(apply_fn: Callable, loss_calculator: Callable):
     """Whole-batch validation forward (no sliding window): returns
     (loss, per-sample classwise dice [B, K])."""

@@ -86,8 +86,16 @@ def _evaluate_pairs(config, metric, pair_csv, split_name, seg_root):
 
 def eva_main(config):
     """Evaluate metric_1 and metric_2 over the test and valid pair CSVs
-    (reference evaluation_seg_train.py:577-582)."""
-    seg_root = _seg_root(config)
+    (reference evaluation_seg_train.py:577-582). When the [evaluation]
+    section names ``segmentation_folder_root`` explicitly, it is used
+    directly (the standalone pymic_eval_seg contract,
+    evaluation_seg.py:288-297); otherwise the root is derived from
+    output_dir/ckpt/test_csv like the auto-eval after training."""
+    explicit = config['evaluation'].get('segmentation_folder_root', None)
+    if explicit is not None and 'testing' not in config:
+        seg_root = explicit
+    else:
+        seg_root = _seg_root(config)
     eval_cfg = config['evaluation']
     results = {}
     for key in ('metric_1', 'metric_2'):

@@ -216,3 +216,20 @@ def test_sharded_sliding_window_parity(rng):
     out = np.moveaxis(np.asarray(out_v[0] / cnt), -1, 0)[None]
     ref = _naive_sliding_window(img, w_mat, list(win), list(strd), False)
     np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_dual_consistency_step():
+    from fpl_plus_tpu.engine.train import make_dual_consistency_step
+    mod, optimizer, state = _toy_setup()
+    loss_calc = SegLossDict['DiceLoss']({})
+    step = make_dual_consistency_step(mod.apply, loss_calc, optimizer)
+    rs = np.random.RandomState(4)
+    b0 = _toy_batch(rs)
+    b1 = _toy_batch(rs)
+    b1['image1'] = b1['image'] + 0.1   # fake-source translation stand-in
+    for gate in (0.0, 1.0):
+        state, metrics = step(state, (b0, b1), jax.random.PRNGKey(0),
+                              {'consis_gate': jnp.float32(gate)})
+        assert np.isfinite(float(metrics['loss']))
+        assert np.isfinite(float(metrics['loss_consis']))
+    assert int(state.step) == 2
