@@ -12,11 +12,8 @@ per-item loader seeding (stronger than the reference's per-worker
 """
 from __future__ import annotations
 
-import logging
 import random
 from abc import ABC, abstractmethod
-from typing import Optional
-
 import numpy as np
 
 from fpl_plus_tpu.io.dataset import NiftyDataset

@@ -10,8 +10,6 @@ from __future__ import annotations
 import csv
 import logging
 import time
-from typing import Dict
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -19,10 +17,10 @@ import optax
 
 from fpl_plus_tpu.agents.agent_abstract import NetRunAgent
 from fpl_plus_tpu.engine import ckpt as ckpt_lib
-from fpl_plus_tpu.engine.optim import PlateauScheduler, create_optimizer
+from fpl_plus_tpu.engine.optim import create_optimizer
 from fpl_plus_tpu.engine.train import create_train_state
 from fpl_plus_tpu.io.dataset import ClassificationDataset
-from fpl_plus_tpu.io.loader import DataLoader, repeat_loader
+from fpl_plus_tpu.io.loader import repeat_loader
 from fpl_plus_tpu.losses.cls import ClsLossDict
 from fpl_plus_tpu.models.cls_nets import TorchClsNetDict
 from fpl_plus_tpu.utils.scalar_writer import ScalarWriter

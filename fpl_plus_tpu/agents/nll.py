@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from fpl_plus_tpu.agents.agent_seg import SegmentationAgent, to_channels_last
+from fpl_plus_tpu.agents.agent_seg import SegmentationAgent
 from fpl_plus_tpu.agents.ssl import _first
 from fpl_plus_tpu.engine.train import train_dice
 from fpl_plus_tpu.io.dataset import NiftyDataset

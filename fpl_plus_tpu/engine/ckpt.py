@@ -12,7 +12,7 @@ host-side artifact, restored into the live TrainState pytree structure.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, List, Optional, Union
+from typing import Any, Dict, List, Union
 
 import jax
 import numpy as np

@@ -23,8 +23,7 @@ forward sequentially, exactly like the reference's two ``net()`` calls.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

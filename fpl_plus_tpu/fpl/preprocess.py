@@ -9,7 +9,7 @@ use the framework's own NIfTI codec instead of SimpleITK.
 from __future__ import annotations
 
 import os
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 from scipy import ndimage

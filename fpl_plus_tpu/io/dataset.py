@@ -25,8 +25,6 @@ from __future__ import annotations
 
 import logging
 import os
-from typing import List, Optional
-
 import numpy as np
 import pandas as pd
 

@@ -22,9 +22,8 @@ reference).
 from __future__ import annotations
 
 import multiprocessing as mp
-import queue as queue_mod
 import random
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, List
 
 import numpy as np
 

@@ -8,8 +8,6 @@ sklearn dependency (tiny closed-form implementations).
 from __future__ import annotations
 
 import logging
-from typing import Sequence
-
 import numpy as np
 import pandas as pd
 

@@ -26,7 +26,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def dsbn_prelu_reference(x, scale, bias, mean, var, domain, alpha,
