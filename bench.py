@@ -55,10 +55,13 @@ def main():
     params, batch_stats = init_network(module, net_cfg)
     variables = {'params': params, 'batch_stats': batch_stats}
 
+    # output_mode='label': the serving path — device-side argmax, the
+    # final uint8 label volume is what crosses to the host (the reference
+    # equivalently argmaxes on CPU in save_outputs after its Inferer.run)
     test_cfg = {'sliding_window_enable': True,
                 'sliding_window_size': [28, 128, 128],
                 'sliding_window_stride': [28, 128, 128],
-                'tta_mode': 1, 'class_num': 2}
+                'tta_mode': 1, 'class_num': 2, 'output_mode': 'label'}
 
     def predictor(ctx, x):
         out = module.apply(ctx[0], x, ctx[1], False)

@@ -2,8 +2,9 @@
 
 Replaces the reference Inferer (PyMIC/pymic/net_run_dsbn/infer_func.py):
 identical window-grid rule (clamped starts, :75-85), overlap averaging via a
-counter tensor (:96-111), flip-TTA over H/W (:195-222) and MC-dropout passes
-for the FPL uncertainty filter (agent_seg.py:897-931).
+counter tensor (:96-111), flip-TTA over H/W (:195-222), multi-scale output
+accumulation (:113-140) and MC-dropout passes for the FPL uncertainty filter
+(agent_seg.py:897-931).
 
 TPU-first design — the reference's pure-Python patch loop issuing one
 ``model()`` call per patch becomes ONE jit-compiled XLA program per volume
@@ -17,7 +18,10 @@ shape:
 * patches are extracted on-device with ``vmap(dynamic_slice)`` (one H2D
   transfer of the volume per case, zero per-patch transfers);
 * overlap accumulation is a ``lax.scan`` over start chunks with
-  read-add-write ``dynamic_update_slice`` — deterministic ordering;
+  read-add-write ``dynamic_update_slice`` — deterministic ordering; nets
+  with multi-scale output lists accumulate every head at its own scaled
+  grid (each scale keeps its own exact counter, rather than the reference's
+  interpolated full-res counter — identical when stride >= window);
 * the model parameters / domain label / dropout rng travel as the TRACED
   ``ctx`` pytree, so checkpoint swaps, domain switches and MC-dropout rng
   changes never trigger recompilation — only a new volume shape does.
@@ -84,6 +88,10 @@ def _unflip_mean(outputs: jnp.ndarray, tta: bool) -> jnp.ndarray:
     return sum(un) / len(un)
 
 
+def _as_list(out):
+    return list(out) if isinstance(out, (tuple, list)) else [out]
+
+
 @partial(jax.jit, static_argnames=('predictor', 'window', 'chunk'))
 def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
                         starts: jnp.ndarray, window: Tuple[int, ...],
@@ -91,7 +99,9 @@ def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
     """Core program: volume_v [V, *img, C], starts [P, dim] (P % chunk == 0),
     ``ctx`` an arbitrary traced pytree handed to ``predictor(ctx, patches)``.
 
-    Returns (output [V, *img, K], counter [*img, 1])."""
+    Returns (outputs, counters): lists with one [V, *img_i, K_i] output and
+    one [*img_i, 1] counter per prediction head (multi-scale nets produce
+    several; single-output nets produce singleton lists)."""
     v_num = volume_v.shape[0]
     img_shape = volume_v.shape[1:-1]
     dim = len(img_shape)
@@ -100,59 +110,102 @@ def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
     def extract(vol, s0):
         return jax.lax.dynamic_slice(vol, tuple(s0) + (0,), window + (in_c,))
 
-    # probe class count statically via eval_shape (no FLOPs)
+    # probe output count/shapes statically via eval_shape (no FLOPs)
     probe = jax.eval_shape(predictor, ctx,
                            jnp.zeros((v_num * chunk,) + window + (in_c,),
                                      volume_v.dtype))
-    k = probe.shape[-1]
+    probes = _as_list(probe)
+    windows = [tuple(p.shape[1:-1]) for p in probes]
+    ks = [p.shape[-1] for p in probes]
+    # per-head output grids scale with the head's window (reference
+    # infer_func.py:31-48: scale = head_shape / primary_shape)
+    out_shapes = [tuple(int(img_shape[d] * windows[i][d] / window[d])
+                        for d in range(dim)) for i in range(len(probes))]
 
     # the zero-valued dependency on `starts` keeps the accumulators "varying"
     # when this program runs inside shard_map with a device-sharded grid
     # (otherwise the scan carry mixes unvarying init with varying updates)
     zero = (starts[0, 0] * 0).astype(jnp.float32)
-    out0 = jnp.zeros((v_num,) + tuple(img_shape) + (k,), jnp.float32) + zero
-    cnt0 = jnp.zeros(tuple(img_shape) + (1,), jnp.float32) + zero
-    ones_win = jnp.ones(window + (1,), jnp.float32)
+    outs0 = [jnp.zeros((v_num,) + out_shapes[i] + (ks[i],), jnp.float32)
+             + zero for i in range(len(probes))]
+    cnts0 = [jnp.zeros(out_shapes[i] + (1,), jnp.float32) + zero
+             for i in range(len(probes))]
+    ones_wins = [jnp.ones(windows[i] + (1,), jnp.float32)
+                 for i in range(len(probes))]
 
     starts_chunks = starts.reshape(-1, chunk, dim)
 
-    def add_at(acc, s0, patch):
+    def scaled(s0, i):
+        return tuple(s0[d] * windows[i][d] // window[d] for d in range(dim))
+
+    def add_at(acc, s0, patch, win):
         cur = jax.lax.dynamic_slice(acc, tuple(s0) + (0,),
-                                    window + (acc.shape[-1],))
+                                    win + (acc.shape[-1],))
         return jax.lax.dynamic_update_slice(acc, cur + patch,
                                             tuple(s0) + (0,))
 
     def body(carry, starts_c):
-        out, cnt = carry
+        outs, cnts = carry
         # [V, chunk, *win, C]
         patches = jax.vmap(lambda vol: jax.vmap(lambda s: extract(vol, s))(
             starts_c))(volume_v)
         flat = patches.reshape((v_num * chunk,) + window + (in_c,))
-        preds = predictor(ctx, flat).astype(jnp.float32)
-        preds = preds.reshape((v_num, chunk) + window + (k,))
+        preds = _as_list(predictor(ctx, flat))
+        new_outs, new_cnts = [], []
+        for i, pred in enumerate(preds):
+            pred = pred.astype(jnp.float32).reshape(
+                (v_num, chunk) + windows[i] + (ks[i],))
 
-        def acc_variant(out_v, preds_v):
-            def acc_one(i, o):
-                return add_at(o, starts_c[i], preds_v[i])
-            return jax.lax.fori_loop(0, chunk, acc_one, out_v)
+            def acc_variant(out_v, preds_v, i=i):
+                def acc_one(j, o):
+                    return add_at(o, scaled(starts_c[j], i), preds_v[j],
+                                  windows[i])
+                return jax.lax.fori_loop(0, chunk, acc_one, out_v)
 
-        out = jax.vmap(acc_variant)(out, preds)
+            new_outs.append(jax.vmap(partial(acc_variant, i=i))(outs[i],
+                                                                pred))
 
-        def cnt_one(i, c):
-            return add_at(c, starts_c[i], ones_win)
-        cnt = jax.lax.fori_loop(0, chunk, cnt_one, cnt)
-        return (out, cnt), None
+            def cnt_one(j, c, i=i):
+                return add_at(c, scaled(starts_c[j], i), ones_wins[i],
+                              windows[i])
+            new_cnts.append(jax.lax.fori_loop(0, chunk, cnt_one, cnts[i]))
+        return (new_outs, new_cnts), None
 
-    (out, cnt), _ = jax.lax.scan(body, (out0, cnt0), starts_chunks)
-    return out, cnt
+    (outs, cnts), _ = jax.lax.scan(body, (outs0, cnts0), starts_chunks)
+    return outs, cnts
+
+
+def _finalize(out, output_mode: str):
+    """Device-side head: 'logits' (parity default), 'prob' (softmax) or
+    'label' (argmax uint8 — 8-16x less device->host traffic, the production
+    serving mode)."""
+    if output_mode == 'prob':
+        return jax.nn.softmax(out, -1)
+    if output_mode == 'label':
+        return jnp.argmax(out, -1).astype(jnp.uint8)
+    return out
+
+
+@partial(jax.jit, static_argnames=('predictor', 'window', 'chunk', 'tta',
+                                   'output_mode'))
+def _sliding_window_full(predictor, ctx, vol: jnp.ndarray,
+                         starts: jnp.ndarray, window: Tuple[int, ...],
+                         chunk: int, tta: bool, output_mode: str = 'logits'):
+    """One-dispatch program per volume: flip variants, sliding-window
+    accumulation, overlap division, TTA un-flip averaging and the output
+    head all fused — a single host round-trip matters on high-latency
+    device links."""
+    variants = _make_variants(vol, tta)
+    outs, cnts = _sliding_window_jit(predictor, ctx, variants, starts,
+                                     window, chunk)
+    return [_finalize(_unflip_mean(o / c[None], tta), output_mode)
+            for o, c in zip(outs, cnts)]
 
 
 @partial(jax.jit, static_argnames=('predictor', 'tta'))
-def _whole_volume_jit(predictor, ctx, variants: jnp.ndarray, tta: bool):
-    preds = predictor(ctx, variants)
-    if isinstance(preds, (tuple, list)):
-        preds = preds[0]
-    return _unflip_mean(preds.astype(jnp.float32), tta)
+def _whole_volume_jit(predictor, ctx, vol: jnp.ndarray, tta: bool):
+    preds = _as_list(predictor(ctx, _make_variants(vol, tta)))
+    return [_unflip_mean(p.astype(jnp.float32), tta) for p in preds]
 
 
 class Inferer:
@@ -160,12 +213,12 @@ class Inferer:
 
     ``predictor(ctx, x)`` maps a channels-last patch batch ``[B, *win, C]``
     (or the whole volume batch when sliding window is off) to logits
-    ``[B, *win, K]``. It must be a stable hashable callable (module-level
-    function or bound method) — it is a static jit argument, while ``ctx``
-    (model variables, domain label, dropout rng, ...) is traced, so swapping
-    checkpoints/domains/rngs reuses the compiled program. Multi-output
-    networks contribute their primary full-resolution head (the reference
-    agent also consumes ``outputs[0]``, net_run/agent_seg.py:375-380).
+    ``[B, *win, K]`` or a list of multi-scale heads. It must be a stable
+    hashable callable (module-level function or bound method) — it is a
+    static jit argument, while ``ctx`` (model variables, domain label,
+    dropout rng, ...) is traced, so swapping checkpoints/domains/rngs reuses
+    the compiled program. List-output nets return a list of predictions
+    (like the reference Inferer); single-output nets return one array.
 
     ``image``: numpy/jnp ``[N=1, C, *img]`` channels-first host layout (the
     dataset contract) — transposed once at the device boundary.
@@ -174,9 +227,15 @@ class Inferer:
     def __init__(self, config: dict, patch_chunk: int = 2):
         self.config = config
         self.patch_chunk = patch_chunk
+        # 'logits' (reference parity), 'prob', or 'label' (device-side
+        # argmax, minimal transfer — for serving)
+        self.output_mode = config.get('output_mode', 'logits')
+        if self.output_mode not in ('logits', 'prob', 'label'):
+            raise ValueError('Undefined output_mode {0}'.format(
+                self.output_mode))
 
     def run(self, predictor: Callable, ctx, image,
-            tta_override: Optional[bool] = None) -> np.ndarray:
+            tta_override: Optional[bool] = None):
         tta_mode = self.config.get('tta_mode', 0)
         if tta_mode not in (0, 1):
             raise ValueError('Undefined tta_mode {0}'.format(tta_mode))
@@ -209,23 +268,33 @@ class Inferer:
             if any(pads):
                 vol = jnp.pad(vol, [(0, p) for p in pads] + [(0, 0)],
                               mode='reflect')
-            out = _whole_volume_jit(predictor, ctx, _make_variants(vol, tta),
-                                    tta)
+            outs = _whole_volume_jit(predictor, ctx, vol, tta)
+            outs = [_finalize(o, self.output_mode) for o in outs]
             if any(pads):
-                out = out[tuple(slice(0, s) for s in img_shape)]
+                scale_crops = []
+                for o in outs:
+                    ratios = [o.shape[d] / vol.shape[d] for d in range(dim)]
+                    scale_crops.append(tuple(
+                        slice(0, int(img_shape[d] * ratios[d]))
+                        for d in range(dim)))
+                outs = [o[sc] for o, sc in zip(outs, scale_crops)]
         else:
             starts = window_grid(img_shape, window, stride)
             chunk = min(self.patch_chunk, len(starts))
             pad = (-len(starts)) % chunk
             if pad:   # duplicate starts round out the last chunk; the counter
                 starts = np.concatenate([starts, starts[:pad]], 0)  # absorbs it
-            out_v, cnt = _sliding_window_jit(predictor, ctx,
-                                             _make_variants(vol, tta),
-                                             jnp.asarray(starts),
-                                             tuple(window), chunk)
-            out = _unflip_mean(out_v / cnt[None], tta)
-        # back to the host contract [1, K, *img]
-        return np.moveaxis(np.asarray(out), -1, 0)[None]
+            outs = _sliding_window_full(predictor, ctx, vol,
+                                        jnp.asarray(starts),
+                                        tuple(window), chunk, tta,
+                                        self.output_mode)
+        # back to the host contract [1, K, *img] (list for multi-scale
+        # nets); label mode returns [1, *img] uint8 maps
+        if self.output_mode == 'label':
+            results = [np.asarray(o)[None] for o in outs]
+        else:
+            results = [np.moveaxis(np.asarray(o), -1, 0)[None] for o in outs]
+        return results[0] if len(results) == 1 else results
 
     def run_mc(self, predictor: Callable, ctx_factory: Callable, image,
                rngs: List, tta_override: Optional[bool] = None

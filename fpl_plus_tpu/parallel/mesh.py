@@ -84,10 +84,11 @@ def sharded_sliding_window(predictor: Callable, window: Tuple[int, ...],
     n_dev = mesh.shape[axis]
 
     def local(ctx, volume_v, starts):
-        out, cnt = _sliding_window_jit(predictor, ctx, volume_v, starts,
-                                       window, chunk)
-        out = jax.lax.psum(out, axis)
-        cnt = jax.lax.psum(cnt, axis)
+        outs, cnts = _sliding_window_jit(predictor, ctx, volume_v, starts,
+                                         window, chunk)
+        # primary head only (multi-scale heads are train-time artifacts)
+        out = jax.lax.psum(outs[0], axis)
+        cnt = jax.lax.psum(cnts[0], axis)
         return out, cnt
 
     fn = shard_map(local, mesh=mesh,

@@ -165,7 +165,10 @@ def test_fpl_uncertainty_pass(e2e_workspace):
     sorted uncertainty .npy (reference agent_seg.py:897-931,954-960)."""
     from fpl_plus_tpu.agents.agent_seg import SegmentationAgent
     from fpl_plus_tpu.config.parser import parse_config, synchronize_config
-    cfg_file = str(e2e_workspace / 'exp.cfg')
+    cfg_file = _write_cfg(e2e_workspace)
+    if not (e2e_workspace / 'model' / 'run1' / 'run1_best.txt').exists():
+        from fpl_plus_tpu.cli import main
+        assert main(['train', cfg_file]) == 0
     config = synchronize_config(parse_config(cfg_file))
     config['network']['dropout'] = [0.0, 0.0, 0.3, 0.4, 0.5]
     config['testing']['fpl'] = True

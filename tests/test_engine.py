@@ -233,3 +233,30 @@ def test_dual_consistency_step():
         assert np.isfinite(float(metrics['loss']))
         assert np.isfinite(float(metrics['loss_consis']))
     assert int(state.step) == 2
+
+
+def test_sliding_window_multiscale_outputs(rng):
+    """Multi-scale prediction lists accumulate at scaled grids
+    (reference infer_func.py:113-140)."""
+
+    class TwoScalePredictor(LinearPredictor):
+        def __call__(self, ctx, x):
+            full = jnp.einsum('...c,ck->...k', x, jnp.asarray(self.w))
+            half = full[:, ::2, ::2, ::2, :]
+            return [full, half]
+
+    w_mat = rng.normal(size=(1, 2)).astype(np.float32)
+    predictor = TwoScalePredictor(w_mat)
+    img = rng.normal(size=(1, 1, 8, 16, 16)).astype(np.float32)
+    cfg = {'sliding_window_enable': True, 'sliding_window_size': [4, 8, 8],
+           'sliding_window_stride': [4, 8, 8], 'tta_mode': 0}
+    outs = Inferer(cfg, patch_chunk=2).run(predictor, None, img)
+    assert isinstance(outs, list) and len(outs) == 2
+    assert outs[0].shape == (1, 2, 8, 16, 16)
+    assert outs[1].shape == (1, 2, 4, 8, 8)
+    # full-res head equals the single-output reference computation
+    ref = _naive_sliding_window(img, w_mat, [4, 8, 8], [4, 8, 8], False)
+    np.testing.assert_allclose(outs[0], ref, atol=1e-4)
+    # half-res head equals subsampling of the full-res one (by construction)
+    np.testing.assert_allclose(outs[1], outs[0][:, :, ::2, ::2, ::2],
+                               atol=1e-4)
