@@ -137,6 +137,26 @@ def main_eval_seg(argv=None):
     return 0
 
 
+def main_convert(argv=None):
+    """Convert a reference PyTorch checkpoint into this framework's format:
+
+        fpl_convert reference.pt experiment.cfg out_dir/prefix_40000.ckpt
+
+    The [network] section of the cfg describes the architecture; the output
+    follows the pointer-file checkpoint contract (usable for iter_start
+    resume and ckpt_mode inference).
+    """
+    argv = argv if argv is not None else sys.argv[1:]
+    if len(argv) < 3:
+        print('Usage: fpl_convert reference.pt config.cfg out/prefix_IT.ckpt')
+        return 1
+    config = parse_config(argv[1])
+    from fpl_plus_tpu.utils.torch_convert import convert_reference_checkpoint
+    convert_reference_checkpoint(argv[0], config['network'], argv[2])
+    logging.info('converted %s -> %s', argv[0], argv[2])
+    return 0
+
+
 def main_eval_cls(argv=None):
     """pymic_eval_cls-compatible CLI (reference util/evaluation_cls.py:
     159-192): binary or non-exclusive classification metrics from the
