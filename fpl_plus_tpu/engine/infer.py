@@ -279,6 +279,22 @@ class Inferer:
                         for d in range(dim)))
                 outs = [o[sc] for o, sc in zip(outs, scale_crops)]
         else:
+            # optional shape bucketing (SURVEY.md section 7.4 hard part 3):
+            # reflect-pad spatial dims up to multiples of
+            # ``infer_shape_bucket`` so volumes of similar size share ONE
+            # compiled program (one retrace per bucket instead of per
+            # volume shape). The window grid covers the padded extent, so
+            # predictions in the last window before a padded edge see
+            # reflected context — identical to the unbucketed path
+            # everywhere else, and exact when no padding was needed.
+            bucket = self.config.get('infer_shape_bucket', 0)
+            true_shape = img_shape
+            if bucket:
+                pads = [(-s) % bucket for s in img_shape]
+                if any(pads):
+                    vol = jnp.pad(vol, [(0, p) for p in pads] + [(0, 0)],
+                                  mode='reflect')
+                    img_shape = vol.shape[:-1]
             starts = window_grid(img_shape, window, stride)
             chunk = min(self.patch_chunk, len(starts))
             pad = (-len(starts)) % chunk
@@ -288,6 +304,14 @@ class Inferer:
                                         jnp.asarray(starts),
                                         tuple(window), chunk, tta,
                                         self.output_mode)
+            if bucket and img_shape != true_shape:
+                cropped = []
+                for o in outs:
+                    ratios = [o.shape[d] / img_shape[d] for d in range(dim)]
+                    cropped.append(o[tuple(
+                        slice(0, int(true_shape[d] * ratios[d]))
+                        for d in range(dim))])
+                outs = cropped
         # back to the host contract [1, K, *img] (list for multi-scale
         # nets); label mode returns [1, *img] uint8 maps
         if self.output_mode == 'label':

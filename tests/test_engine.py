@@ -260,3 +260,23 @@ def test_sliding_window_multiscale_outputs(rng):
     # half-res head equals subsampling of the full-res one (by construction)
     np.testing.assert_allclose(outs[1], outs[0][:, :, ::2, ::2, ::2],
                                atol=1e-4)
+
+
+def test_shape_bucketing(rng):
+    """infer_shape_bucket shares one compiled program across nearby depths;
+    predictions match the unbucketed path away from padded edges (and
+    everywhere for the per-voxel linear net used here, since its output is
+    context-free)."""
+    w_mat = rng.normal(size=(1, 2)).astype(np.float32)
+    predictor = LinearPredictor(w_mat)
+    base = {'sliding_window_enable': True, 'sliding_window_size': [4, 8, 8],
+            'sliding_window_stride': [3, 6, 5], 'tta_mode': 1}
+    for depth in (10, 11, 13):
+        img = rng.normal(size=(1, 1, depth, 20, 17)).astype(np.float32)
+        plain = Inferer(dict(base), patch_chunk=3).run(predictor, None, img)
+        bucketed = Inferer(dict(base, infer_shape_bucket=8),
+                           patch_chunk=3).run(predictor, None, img)
+        assert bucketed.shape == plain.shape
+        assert np.isfinite(bucketed).all()
+        # a per-voxel net is unaffected by window context: exact match
+        np.testing.assert_allclose(bucketed, plain, atol=1e-4)
