@@ -263,6 +263,35 @@ class SegmentationAgent(NetRunAgent):
             jax.profiler.start_trace(profile_dir)
         class_num = self.config['network']['class_num']
 
+        # one-deep async prefetch: decode/convert/H2D of the next batch
+        # overlaps the current device step (the jitted step dispatches
+        # asynchronously, so the host is otherwise idle during compute)
+        import queue as _queue
+        import threading as _threading
+        prefetch_q: '_queue.Queue' = _queue.Queue(maxsize=2)
+        stop_flag = []
+
+        def _prefetch_loop():
+            while not stop_flag:
+                try:
+                    prefetch_q.put(self.next_train_batches(train_iters),
+                                   timeout=1.0)
+                except _queue.Full:
+                    continue
+                except Exception as exc:   # surface loader errors
+                    prefetch_q.put(exc)
+                    return
+
+        prefetch_thread = _threading.Thread(target=_prefetch_loop,
+                                            daemon=True)
+        prefetch_thread.start()
+
+        def next_batches():
+            item = prefetch_q.get()
+            if isinstance(item, Exception):
+                raise item
+            return item
+
         for block_start in range(iter_start, iter_max, iter_valid):
             lr_value = self._current_lr(state)
             t0 = time.time()
@@ -270,7 +299,7 @@ class SegmentationAgent(NetRunAgent):
             dice_acc = {}
             for sub_it in range(iter_valid):
                 self.glob_it = block_start + sub_it
-                batches = self.next_train_batches(train_iters)
+                batches = next_batches()
                 rng, sub = jax.random.split(rng)
                 hyper = self.training_hyper(self.glob_it)
                 if hyper is None:
@@ -333,6 +362,11 @@ class SegmentationAgent(NetRunAgent):
             if stop_now:
                 logging.info('The training is early stopped')
                 break
+
+        stop_flag.append(True)
+        while not prefetch_q.empty():   # unblock the producer
+            prefetch_q.get_nowait()
+        prefetch_thread.join(timeout=5)
 
         # save the best-performing checkpoint (reference :809-828)
         if best_state_host is not None:
