@@ -150,6 +150,46 @@ class DataLoader:
         if buf and not self.drop_last:
             yield collate(buf)
 
+    def stream(self) -> Iterator[Dict[str, object]]:
+        """Endless batch stream without epoch barriers: the index sequence
+        chains reshuffled epochs, so the worker prefetch window stays full
+        across epoch boundaries (a per-epoch window stalls when the dataset
+        is smaller than the window). Batches always have ``batch_size``
+        items (epochs wrap mid-batch), matching an endless sampler."""
+        self._ensure_pool()
+        window = max(self.num_workers * self.prefetch_factor,
+                     self.batch_size)
+
+        def index_stream():
+            while True:
+                for item_idx in self._epoch_indices():
+                    yield int(item_idx)
+                self._epoch += 1
+
+        idx_iter = index_stream()
+        submitted = 0
+        received = {}
+        next_out = 0
+        buf = []
+        for _ in range(window):
+            self._task_q.put((submitted, next(idx_iter)))
+            submitted += 1
+        while True:
+            while next_out not in received:
+                send_idx, sample, err = self._result_q.get()
+                if err is not None:
+                    self.shutdown()
+                    raise RuntimeError('data worker failed on item {0}: {1}'
+                                       .format(send_idx, err))
+                received[send_idx] = sample
+            buf.append(received.pop(next_out))
+            next_out += 1
+            self._task_q.put((submitted, next(idx_iter)))
+            submitted += 1
+            if len(buf) == self.batch_size:
+                yield collate(buf)
+                buf = []
+
     def _iter_workers(self, indices, epoch_base):
         self._ensure_pool()
         n = len(indices)
@@ -190,7 +230,12 @@ class DataLoader:
 
 def repeat_loader(loader) -> Iterator:
     """Endless iterator over a loader (reference repeat_dataloader,
-    agent_seg.py:150-153)."""
-    while True:
-        for batch in loader:
-            yield batch
+    agent_seg.py:150-153). Worker-backed loaders stream without epoch
+    barriers so the prefetch window pipelines across epoch boundaries
+    (crucial when the dataset is smaller than the window)."""
+    if isinstance(loader, DataLoader) and loader.num_workers > 0:
+        yield from loader.stream()
+    else:
+        while True:
+            for batch in loader:
+                yield batch

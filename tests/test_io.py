@@ -71,3 +71,23 @@ def test_reads_reference_fixture_volume():
     seg = load_image_as_nd_array(
         os.path.join(REFERENCE_DATASET, 'hrT2_test', 'vs_gk_9_t2_seg.nii.gz'))
     assert set(np.unique(seg['data_array'])) <= {0, 1, 2}
+
+
+def test_loader_stream_crosses_epochs(fixture_dir):
+    """stream() yields full batches that wrap epoch boundaries and keeps
+    deterministic per-item seeding."""
+    from fpl_plus_tpu.io.dataset import NiftyDataset
+    from fpl_plus_tpu.io.loader import DataLoader, repeat_loader
+    import numpy as np
+    csv = fixture_dir / 'stream.csv'
+    csv.write_text('image,label\nimg.nii.gz,lab.nii.gz\n')
+    ds = NiftyDataset(str(fixture_dir), str(csv), 1, True, None)
+    assert len(ds) == 1
+    loader = DataLoader(ds, batch_size=3, shuffle=True, num_workers=2, seed=7)
+    it = repeat_loader(loader)
+    b1 = next(it)
+    b2 = next(it)
+    assert b1['image'].shape[0] == 3          # full batch from a 1-item set
+    assert b2['image'].shape[0] == 3
+    np.testing.assert_allclose(b1['image'][0], b1['image'][1])
+    loader.shutdown()
