@@ -223,8 +223,13 @@ class SegmentationAgent(NetRunAgent):
         else:
             iter_save_list = list(range(0, iter_max + 1, iter_save))
 
+        # NOTE on resume + MultiStepLR: when the optimizer state restores
+        # from the checkpoint it carries its own step count, so the schedule
+        # must NOT be offset again (offsetting is only for a fresh optimizer,
+        # e.g. resuming from a converted reference checkpoint whose
+        # opt_state is empty).
         sched_params = dict(cfg_t)
-        sched_params['last_iter'] = iter_start if iter_start > 0 else -1
+        sched_params['last_iter'] = -1
         optimizer = create_optimizer(cfg_t, sched_params)
         plateau = PlateauScheduler(sched_params)
         state = create_train_state(self.variables['params'],
@@ -235,13 +240,30 @@ class SegmentationAgent(NetRunAgent):
         if iter_start > 0:
             path = '{0}/{1}_{2}.ckpt'.format(ckpt_dir, ckpt_prefix,
                                              iter_start)
-            loaded = ckpt_lib.load_checkpoint(path, {
-                'params': state.params, 'batch_stats': state.batch_stats,
-                'opt_state': state.opt_state})
+            try:
+                loaded = ckpt_lib.load_checkpoint(path, {
+                    'params': state.params, 'batch_stats': state.batch_stats,
+                    'opt_state': state.opt_state})
+                new_opt_state = loaded['state']['opt_state']
+            except Exception:
+                # checkpoint without optimizer state (e.g. converted from a
+                # reference .pt): fresh optimizer, schedule offset by
+                # iter_start like the reference's MultiStepLR last_iter
+                loaded = ckpt_lib.load_checkpoint(path, {
+                    'params': state.params, 'batch_stats': state.batch_stats,
+                    'opt_state': ()})
+                sched_params['last_iter'] = iter_start
+                optimizer = create_optimizer(cfg_t, sched_params)
+                state = create_train_state(loaded['state']['params'],
+                                           loaded['state']['batch_stats'],
+                                           optimizer)
+                new_opt_state = state.opt_state
+                logging.info('checkpoint has no optimizer state; fresh '
+                             'optimizer with schedule offset %d', iter_start)
             state = state.replace(
                 params=loaded['state']['params'],
                 batch_stats=loaded['state']['batch_stats'],
-                opt_state=loaded['state']['opt_state'],
+                opt_state=new_opt_state,
                 step=jnp.asarray(iter_start, jnp.int32))
             best_state_host = {'params': loaded['state']['params'],
                                'batch_stats': loaded['state']['batch_stats']}

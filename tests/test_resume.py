@@ -1,0 +1,104 @@
+"""Resume semantics: MultiStepLR continues (not double-offset) when the
+optimizer state restores; converted checkpoints without optimizer state get
+a fresh optimizer with the reference's last_iter offset."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from fpl_plus_tpu.io.nifti import ImageGeometry, NiftiImage, write_nifti
+
+
+@pytest.fixture()
+def tiny_ws(tmp_path):
+    rs = np.random.RandomState(0)
+    os.makedirs(tmp_path / 'img')
+    os.makedirs(tmp_path / 'lab')
+    geom = ImageGeometry()
+    vol = rs.normal(0, 1, (8, 16, 16)).astype(np.float32)
+    lab = np.zeros((8, 16, 16), np.int16)
+    lab[2:6, 4:12, 4:12] = 1
+    write_nifti(NiftiImage(vol, geom), str(tmp_path / 'img' / 'c.nii.gz'))
+    write_nifti(NiftiImage(lab, geom), str(tmp_path / 'lab' / 'c.nii.gz'))
+    (tmp_path / 'train.csv').write_text(
+        'image,label\nimg/c.nii.gz,lab/c.nii.gz\n')
+    return tmp_path
+
+
+def _config(root, iter_start, iter_max):
+    return {
+        'dataset': {'task_type': 'seg', 'root_dir': str(root),
+                    'modal_num': 1,
+                    'train_csv': str(root / 'train.csv'),
+                    'valid_csv': str(root / 'train.csv'),
+                    'test_csv': str(root / 'train.csv'),
+                    'train_batch_size': 1, 'num_workder': 0,
+                    'train_transform': ['Pad', 'LabelToProbability'],
+                    'valid_transform': ['Pad', 'LabelToProbability'],
+                    'test_transform': ['Pad'],
+                    'pad_output_size': [8, 16, 16],
+                    'labeltoprobability_class_num': 2},
+        'network': {'net_type': 'UNet2D5', 'num_domains': 1, 'class_num': 2,
+                    'in_chns': 1, 'feature_chns': [2, 4, 4, 4, 4],
+                    'conv_dims': [2, 2, 3, 3, 3], 'dropout': [0] * 5,
+                    'bilinear': True},
+        'training': {'dual': False, 'dis': False, 'train_fpl_uda': False,
+                     'val_t1': False, 'val_t2': False,
+                     'loss_type': 'DiceLoss', 'optimizer': 'Adam',
+                     'learning_rate': 1e-3, 'momentum': 0.9,
+                     'weight_decay': 0.0,
+                     'lr_scheduler': 'MultiStepLR', 'lr_gamma': 0.5,
+                     'lr_milestones': [2, 8],
+                     'iter_start': iter_start, 'iter_max': iter_max,
+                     'iter_valid': 2, 'iter_save': 2,
+                     'ckpt_save_dir': str(root / 'model' / 'm')},
+        'testing': {'ckpt_mode': 1, 'output_dir': str(root / 'out'),
+                    'sliding_window_enable': False, 'tta_mode': 0},
+    }
+
+
+def _lr_records(root):
+    recs = []
+    with open(root / 'model' / 'm' / 'scalars.jsonl') as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec['tag'] == 'lr':
+                recs.append((rec['step'], rec['value']))
+    return recs
+
+
+def test_multistep_resume_no_double_offset(tiny_ws):
+    from fpl_plus_tpu.agents.agent_seg import SegmentationAgent
+    # phase 1: 0 -> 4 (milestone at 2: lr halves after step 2)
+    agent = SegmentationAgent(_config(tiny_ws, 0, 4), 'train')
+    agent.run()
+    lrs = dict(_lr_records(tiny_ws))
+    assert abs(lrs[2] - 1e-3) < 1e-9          # logged before first block
+    # phase 2: resume 4 -> 6; lr must be base*gamma (one milestone passed),
+    # NOT base*gamma^2 (which a double offset would produce)
+    agent2 = SegmentationAgent(_config(tiny_ws, 4, 6), 'train')
+    agent2.run()
+    lrs = dict(_lr_records(tiny_ws))
+    assert abs(lrs[6] - 0.5e-3) < 1e-9, lrs
+
+
+def test_resume_from_checkpoint_without_opt_state(tiny_ws):
+    from fpl_plus_tpu.agents.agent_seg import SegmentationAgent
+    from fpl_plus_tpu.engine import ckpt as ckpt_lib
+    agent = SegmentationAgent(_config(tiny_ws, 0, 2), 'train')
+    agent.run()
+    # strip the optimizer state (what fpl_convert produces)
+    ckpt_dir = str(tiny_ws / 'model' / 'm')
+    loaded = ckpt_lib.load_checkpoint(
+        ckpt_dir + '/m_2.ckpt',
+        {'params': agent.variables['params'],
+         'batch_stats': agent.variables['batch_stats'], 'opt_state': None})
+    ckpt_lib.save_checkpoint(ckpt_dir, 'm', 2,
+                             {'params': loaded['state']['params'],
+                              'batch_stats': loaded['state']['batch_stats'],
+                              'opt_state': ()}, 0.0)
+    agent2 = SegmentationAgent(_config(tiny_ws, 2, 4), 'train')
+    agent2.run()   # must not crash; fresh optimizer + offset schedule
+    lrs = dict(_lr_records(tiny_ws))
+    assert abs(lrs[4] - 0.5e-3) < 1e-9        # milestone 2 already passed
