@@ -17,7 +17,7 @@ import optax
 
 from fpl_plus_tpu.agents.agent_abstract import NetRunAgent
 from fpl_plus_tpu.engine import ckpt as ckpt_lib
-from fpl_plus_tpu.engine.optim import create_optimizer
+from fpl_plus_tpu.engine.optim import PlateauScheduler, create_optimizer
 from fpl_plus_tpu.engine.train import create_train_state
 from fpl_plus_tpu.io.dataset import ClassificationDataset
 from fpl_plus_tpu.io.loader import repeat_loader
@@ -89,10 +89,23 @@ class ClassificationAgent(NetRunAgent):
         iter_max = cfg_t['iter_max']
         iter_valid = cfg_t['iter_valid']
         sched = dict(cfg_t)
-        sched['last_iter'] = iter_start if iter_start > 0 else -1
+        sched['last_iter'] = -1   # restored optax state carries the count
         optimizer = create_optimizer(cfg_t, sched)
+        plateau = PlateauScheduler(dict(sched, iter_valid=iter_valid))
         state = create_train_state(self.variables['params'],
                                    self.variables['batch_stats'], optimizer)
+        if iter_start > 0:
+            # resume: restore weights/stats/optimizer and the best score
+            # (reference agent_cls.py:228-236)
+            path = '{0}/{1}_{2}.ckpt'.format(ckpt_dir, ckpt_prefix,
+                                             iter_start)
+            loaded = ckpt_lib.load_checkpoint(path, {
+                'params': state.params, 'batch_stats': state.batch_stats,
+                'opt_state': state.opt_state})
+            state = state.replace(params=loaded['state']['params'],
+                                  batch_stats=loaded['state']['batch_stats'],
+                                  opt_state=loaded['state']['opt_state'])
+            logging.info('resumed from %s', path)
         loss_calc = self._loss_calculator()
         apply_fn = self.module.apply
 
@@ -167,6 +180,14 @@ class ClassificationAgent(NetRunAgent):
                          metrics_name, train_scalars[metrics_name],
                          valid_scalars['loss'], metrics_name,
                          valid_scalars[metrics_name])
+            if plateau.enabled:
+                scale = plateau.step(valid_scalars[metrics_name])
+                try:
+                    state.opt_state.hyperparams['learning_rate'] = \
+                        jnp.asarray(cfg_t['learning_rate'] * scale,
+                                    jnp.float32)
+                except Exception:
+                    pass
             if valid_scalars[metrics_name] > max_score:
                 max_score = valid_scalars[metrics_name]
                 max_it = glob_it

@@ -58,7 +58,11 @@ class SegmentationAgent(NetRunAgent):
         train_cfg = config.get('training', {})
         self.fpl_uda = train_cfg.get('train_fpl_uda', False)
         self.dual = train_cfg.get('dual', False)
-        self.use_entropy = train_cfg.get('entropy_reg', False)
+        # the reference's per-domain training() adds the entropy regulariser
+        # unconditionally (agent_seg.py:352-354); the joint path
+        # (training_all) does not. Default accordingly; override with
+        # [training] entropy_reg.
+        self.use_entropy = train_cfg.get('entropy_reg', not self.dual)
         self.output_dir = None
 
     def task_type(self) -> str:
@@ -235,6 +239,8 @@ class SegmentationAgent(NetRunAgent):
         state = create_train_state(self.variables['params'],
                                    self.variables['batch_stats'], optimizer)
 
+        # the dsbn reference deliberately zeroes the restored valid_pred on
+        # resume (agent_seg.py:721-723), so best-tracking restarts at 0.0
         max_val_dice, max_val_it = 0.0, iter_start
         best_state_host = None
         if iter_start > 0:
@@ -252,7 +258,9 @@ class SegmentationAgent(NetRunAgent):
                 loaded = ckpt_lib.load_checkpoint(path, {
                     'params': state.params, 'batch_stats': state.batch_stats,
                     'opt_state': ()})
-                sched_params['last_iter'] = iter_start
+                # torch convention: last completed iteration
+                # (reference agent_abstract.py:334: iteration - 1)
+                sched_params['last_iter'] = iter_start - 1
                 optimizer = create_optimizer(cfg_t, sched_params)
                 state = create_train_state(loaded['state']['params'],
                                            loaded['state']['batch_stats'],
@@ -272,6 +280,22 @@ class SegmentationAgent(NetRunAgent):
         loss_calc = create_loss_calculator(self.config, self.loss_dict)
         train_step = self.build_train_step(optimizer, loss_calc)
         state = self.init_extra_state(state)
+        if iter_start > 0 and state.extra is not None:
+            # restore paradigm state (EMA teacher / discriminator) when the
+            # checkpoint carries it; older checkpoints keep the fresh init
+            try:
+                path = '{0}/{1}_{2}.ckpt'.format(ckpt_dir, ckpt_prefix,
+                                                 iter_start)
+                loaded_extra = ckpt_lib.load_checkpoint(path, {
+                    'params': state.params,
+                    'batch_stats': state.batch_stats,
+                    'opt_state': state.opt_state,
+                    'extra': state.extra})
+                state = state.replace(extra=loaded_extra['state']['extra'])
+                logging.info('restored paradigm extra state from checkpoint')
+            except Exception:
+                logging.info('checkpoint has no paradigm extra state; '
+                             'fresh init kept')
 
         writer = ScalarWriter(ckpt_dir)
         train_iters = [repeat_loader(ld) for ld in self.train_loaders]
@@ -375,12 +399,13 @@ class SegmentationAgent(NetRunAgent):
             stop_now = (early_stop_it is not None
                         and glob_it - max_val_it > early_stop_it)
             if glob_it in iter_save_list or stop_now:
-                ckpt_lib.save_checkpoint(
-                    ckpt_dir, ckpt_prefix, glob_it,
-                    {'params': state.params,
-                     'batch_stats': state.batch_stats,
-                     'opt_state': state.opt_state},
-                    valid_scalars['avg_dice'])
+                payload = {'params': state.params,
+                           'batch_stats': state.batch_stats,
+                           'opt_state': state.opt_state}
+                if state.extra is not None:
+                    payload['extra'] = state.extra
+                ckpt_lib.save_checkpoint(ckpt_dir, ckpt_prefix, glob_it,
+                                         payload, valid_scalars['avg_dice'])
             if stop_now:
                 logging.info('The training is early stopped')
                 break
@@ -451,7 +476,10 @@ class SegmentationAgent(NetRunAgent):
             self.inferer = self._make_inferer()
         variables = {'params': state.params,
                      'batch_stats': state.batch_stats}
-        loss_calc = create_loss_calculator(self.config, self.loss_dict)
+        if not hasattr(self, '_valid_loss_calc'):
+            self._valid_loss_calc = create_loss_calculator(self.config,
+                                                           self.loss_dict)
+        loss_calc = self._valid_loss_calc
         per_domain = []
         for d, loader in enumerate(self.valid_loaders):
             losses, dices = [], []
@@ -561,9 +589,14 @@ class SegmentationAgent(NetRunAgent):
                 uncertainty_list[name] = [uncer_one]
                 logging.info('%s %s', name, uncer_one)
             else:
+                # reference agent_seg.py:845-852: test_time_dropout switches
+                # Dropout layers to train mode for plain inference too
+                rng_td = None
+                if tt_dropout:
+                    rng, rng_td = jax.random.split(rng)
                 pred = self.inferer.run(
                     self._patch_forward,
-                    (variables, jnp.int32(domain_label), None), images)
+                    (variables, jnp.int32(domain_label), rng_td), images)
                 data['predict'] = pred
                 for transform in self.transform_list[::-1]:
                     if transform.inverse:

@@ -94,9 +94,12 @@ def _as_list(out):
 
 @partial(jax.jit, static_argnames=('predictor', 'window', 'chunk'))
 def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
-                        starts: jnp.ndarray, window: Tuple[int, ...],
-                        chunk: int):
+                        starts: jnp.ndarray, weights: jnp.ndarray,
+                        window: Tuple[int, ...], chunk: int):
     """Core program: volume_v [V, *img, C], starts [P, dim] (P % chunk == 0),
+    ``weights`` [P] scaling each window's contribution to output AND counter
+    (0 for the duplicate starts that round out the last chunk — a nonzero
+    weight would bias overlap averaging toward duplicated windows),
     ``ctx`` an arbitrary traced pytree handed to ``predictor(ctx, patches)``.
 
     Returns (outputs, counters): lists with one [V, *img_i, K_i] output and
@@ -134,6 +137,7 @@ def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
                  for i in range(len(probes))]
 
     starts_chunks = starts.reshape(-1, chunk, dim)
+    weights_chunks = weights.reshape(-1, chunk)
 
     def scaled(s0, i):
         return tuple(s0[d] * windows[i][d] // window[d] for d in range(dim))
@@ -144,7 +148,8 @@ def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
         return jax.lax.dynamic_update_slice(acc, cur + patch,
                                             tuple(s0) + (0,))
 
-    def body(carry, starts_c):
+    def body(carry, chunk_in):
+        starts_c, weights_c = chunk_in
         outs, cnts = carry
         # [V, chunk, *win, C]
         patches = jax.vmap(lambda vol: jax.vmap(lambda s: extract(vol, s))(
@@ -158,20 +163,21 @@ def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
 
             def acc_variant(out_v, preds_v, i=i):
                 def acc_one(j, o):
-                    return add_at(o, scaled(starts_c[j], i), preds_v[j],
-                                  windows[i])
+                    return add_at(o, scaled(starts_c[j], i),
+                                  preds_v[j] * weights_c[j], windows[i])
                 return jax.lax.fori_loop(0, chunk, acc_one, out_v)
 
             new_outs.append(jax.vmap(partial(acc_variant, i=i))(outs[i],
                                                                 pred))
 
             def cnt_one(j, c, i=i):
-                return add_at(c, scaled(starts_c[j], i), ones_wins[i],
-                              windows[i])
+                return add_at(c, scaled(starts_c[j], i),
+                              ones_wins[i] * weights_c[j], windows[i])
             new_cnts.append(jax.lax.fori_loop(0, chunk, cnt_one, cnts[i]))
         return (new_outs, new_cnts), None
 
-    (outs, cnts), _ = jax.lax.scan(body, (outs0, cnts0), starts_chunks)
+    (outs, cnts), _ = jax.lax.scan(body, (outs0, cnts0),
+                                   (starts_chunks, weights_chunks))
     return outs, cnts
 
 
@@ -189,7 +195,8 @@ def _finalize(out, output_mode: str):
 @partial(jax.jit, static_argnames=('predictor', 'window', 'chunk', 'tta',
                                    'output_mode'))
 def _sliding_window_full(predictor, ctx, vol: jnp.ndarray,
-                         starts: jnp.ndarray, window: Tuple[int, ...],
+                         starts: jnp.ndarray, weights: jnp.ndarray,
+                         window: Tuple[int, ...],
                          chunk: int, tta: bool, output_mode: str = 'logits'):
     """One-dispatch program per volume: flip variants, sliding-window
     accumulation, overlap division, TTA un-flip averaging and the output
@@ -197,7 +204,7 @@ def _sliding_window_full(predictor, ctx, vol: jnp.ndarray,
     device links."""
     variants = _make_variants(vol, tta)
     outs, cnts = _sliding_window_jit(predictor, ctx, variants, starts,
-                                     window, chunk)
+                                     weights, window, chunk)
     return [_finalize(_unflip_mean(o / c[None], tta), output_mode)
             for o, c in zip(outs, cnts)]
 
@@ -298,10 +305,13 @@ class Inferer:
             starts = window_grid(img_shape, window, stride)
             chunk = min(self.patch_chunk, len(starts))
             pad = (-len(starts)) % chunk
-            if pad:   # duplicate starts round out the last chunk; the counter
-                starts = np.concatenate([starts, starts[:pad]], 0)  # absorbs it
+            weights = np.ones(len(starts) + pad, np.float32)
+            if pad:   # duplicate starts round out the last chunk at weight 0
+                starts = np.concatenate([starts, starts[:pad]], 0)
+                weights[len(starts) - pad:] = 0.0
             outs = _sliding_window_full(predictor, ctx, vol,
                                         jnp.asarray(starts),
+                                        jnp.asarray(weights),
                                         tuple(window), chunk, tta,
                                         self.output_mode)
             if bucket and img_shape != true_shape:

@@ -131,7 +131,7 @@ def make_train_step(apply_fn: Callable, loss_calculator: Callable,
         metrics = {}
         total = 0.0
         for d in range(num_domains):
-            def loss_fn(params, bs=state.batch_stats, d=d):
+            def loss_fn(params, d=d):
                 loss_d, aux = _domain_loss(
                     apply_fn, params, state.batch_stats, batches[d],
                     jnp.int32(d), rngs[d], loss_calculator, fpl_uda)

@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import Callable, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -69,11 +70,13 @@ def sharded_sliding_window(predictor: Callable, window: Tuple[int, ...],
 
     ``ctx`` (model variables etc.) and ``volume_v [V, *img, C]`` are
     replicated; ``starts [P, dim]`` is sharded over the mesh (P must be a
-    multiple of n_devices * chunk — pad with duplicate starts, the counter
-    absorbs them). Each device accumulates its windows locally; one ``psum``
-    over ICI merges output and counter.
+    multiple of n_devices * chunk — pad with duplicate starts and give the
+    duplicates weight 0 so they cannot bias overlap averaging). Each device
+    accumulates its windows locally; one ``psum`` over ICI merges output
+    and counter.
 
-    Returns fn(ctx, volume_v, starts) -> (output [V,*img,K], counter [*img,1]).
+    Returns fn(ctx, volume_v, starts, weights=None)
+    -> (output [V,*img,K], counter [*img,1]).
     """
     from fpl_plus_tpu.engine.infer import _sliding_window_jit
     try:
@@ -83,21 +86,23 @@ def sharded_sliding_window(predictor: Callable, window: Tuple[int, ...],
 
     n_dev = mesh.shape[axis]
 
-    def local(ctx, volume_v, starts):
+    def local(ctx, volume_v, starts, weights):
         outs, cnts = _sliding_window_jit(predictor, ctx, volume_v, starts,
-                                         window, chunk)
+                                         weights, window, chunk)
         # primary head only (multi-scale heads are train-time artifacts)
         out = jax.lax.psum(outs[0], axis)
         cnt = jax.lax.psum(cnts[0], axis)
         return out, cnt
 
     fn = shard_map(local, mesh=mesh,
-                   in_specs=(P(), P(), P(axis)),
+                   in_specs=(P(), P(), P(axis), P(axis)),
                    out_specs=(P(), P()))
 
-    def run(ctx, volume_v, starts):
+    def run(ctx, volume_v, starts, weights=None):
         assert starts.shape[0] % (n_dev * chunk) == 0, \
             'pad the start grid to a multiple of n_devices * chunk'
-        return jax.jit(fn)(ctx, volume_v, starts)
+        if weights is None:
+            weights = jnp.ones((starts.shape[0],), jnp.float32)
+        return jax.jit(fn)(ctx, volume_v, starts, weights)
 
     return run

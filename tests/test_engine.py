@@ -209,10 +209,13 @@ def test_sharded_sliding_window_parity(rng):
     vol = jnp.asarray(np.moveaxis(img[0], 0, -1))
     starts = window_grid(vol.shape[:-1], win, strd)
     pad = (-len(starts)) % 8
+    weights = np.ones(len(starts) + pad, np.float32)
     if pad:
         starts = np.concatenate([starts, starts[:pad]], 0)
+        weights[len(starts) - pad:] = 0.0
     run = sharded_sliding_window(predictor, win, mesh, chunk=1)
-    out_v, cnt = run(None, vol[None], jnp.asarray(starts))
+    out_v, cnt = run(None, vol[None], jnp.asarray(starts),
+                     jnp.asarray(weights))
     out = np.moveaxis(np.asarray(out_v[0] / cnt), -1, 0)[None]
     ref = _naive_sliding_window(img, w_mat, list(win), list(strd), False)
     np.testing.assert_allclose(out, ref, atol=1e-4)
