@@ -19,7 +19,7 @@ from __future__ import annotations
 import csv
 import logging
 import os
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 
@@ -58,8 +58,7 @@ def write_image_weight_csv(uncertainty_npy: str,
                            output_csv: str,
                            image_dir: str,
                            pseudo_label_dir: str,
-                           pixel_weight_dir: str,
-                           image_dir_in_npy: Optional[str] = None) -> int:
+                           pixel_weight_dir: str) -> int:
     """Build the weighted train CSV from the sorted FPL uncertainty list.
 
     The ``.npy`` holds ``[(uncertainty, image_path), ...]`` sorted ascending
@@ -79,7 +78,7 @@ def write_image_weight_csv(uncertainty_npy: str,
     for e, w in zip(entries, weights):
         path = str(np.asarray(e[1]).reshape(-1)[0])
         base = path.split('/')[-1]
-        src_dir = image_dir_in_npy or os.path.dirname(path)
+        # empty image_dir keeps the paths recorded in the npy
         img_name = os.path.join(image_dir, base) if image_dir else path
         lab_name = os.path.join(pseudo_label_dir, base)
         pw_name = os.path.join(pixel_weight_dir, base)

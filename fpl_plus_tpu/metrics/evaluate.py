@@ -86,11 +86,14 @@ def _evaluate_pairs(config, metric, pair_csv, split_name, seg_root):
 
 def eva_main(config):
     """Evaluate metric_1 and metric_2 over the test and valid pair CSVs
-    (reference evaluation_seg_train.py:577-582). When the [evaluation]
-    section names ``segmentation_folder_root`` explicitly, it is used
-    directly (the standalone pymic_eval_seg contract,
-    evaluation_seg.py:288-297); otherwise the root is derived from
-    output_dir/ckpt/test_csv like the auto-eval after training."""
+    (reference evaluation_seg_train.py:577-582). Root resolution follows
+    both reference contracts: a full training config (with a [testing]
+    section) derives the root from output_dir/ckpt/test_csv exactly like
+    the auto-eval after training — the reference's evaluation_seg_train
+    deliberately ignores segmentation_folder_root there (:295-300, the key
+    is commented out). A standalone evaluation config (no [testing])
+    uses segmentation_folder_root directly (pymic_eval_seg contract,
+    evaluation_seg.py:288-297)."""
     explicit = config['evaluation'].get('segmentation_folder_root', None)
     if explicit is not None and 'testing' not in config:
         seg_root = explicit

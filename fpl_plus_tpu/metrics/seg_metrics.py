@@ -50,6 +50,11 @@ def _surface_distances(s: np.ndarray, g: np.ndarray, spacing=None):
 
 def binary_hd95(s: np.ndarray, g: np.ndarray, spacing=None) -> float:
     s_edge, g_edge, s_dis, g_dis = _surface_distances(s, g, spacing)
+    if s_edge.sum() == 0 or g_edge.sum() == 0:
+        # empty prediction or ground truth: the reference crashes here
+        # (GeodisTK on empty seeds); report the ASSD-style worst-case 50
+        # unless both are empty (a vacuous perfect match)
+        return 0.0 if s_edge.sum() == g_edge.sum() else 50.0
     dist_list1 = np.sort(s_dis[g_edge > 0])
     dist1 = dist_list1[int(len(dist_list1) * 0.95)]
     dist_list2 = np.sort(g_dis[s_edge > 0])
@@ -60,6 +65,8 @@ def binary_hd95(s: np.ndarray, g: np.ndarray, spacing=None) -> float:
 def binary_assd(s: np.ndarray, g: np.ndarray, spacing=None) -> float:
     s_edge, g_edge, s_dis, g_dis = _surface_distances(s, g, spacing)
     ns, ng = float(s_edge.sum()), float(g_edge.sum())
+    if ns + ng == 0:
+        return 0.0   # both empty: vacuous match (reference divides by zero)
     assd = (float((s_dis * g_edge).sum()) + float((g_dis * s_edge).sum())) \
         / (ns + ng)
     return min(assd, 50.0)   # reference clamp, evaluation_seg_train.py:169-170

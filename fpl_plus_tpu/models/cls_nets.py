@@ -78,6 +78,8 @@ class VGG16(nn.Module):
     @nn.compact
     def __call__(self, x, domain_label=None, train: bool = False,
                  use_dropout=None):
+        if use_dropout is None:
+            use_dropout = train
         cfg: Sequence = (64, 64, 'M', 128, 128, 'M', 256, 256, 256, 'M',
                          512, 512, 512, 'M', 512, 512, 512, 'M')
         i = 0
@@ -90,9 +92,9 @@ class VGG16(nn.Module):
                 i += 1
         x = x.reshape((x.shape[0], -1))
         x = nn.relu(nn.Dense(4096, name='fc1')(x))
-        x = nn.Dropout(0.5, deterministic=not train)(x)
+        x = nn.Dropout(0.5, deterministic=not use_dropout)(x)
         x = nn.relu(nn.Dense(4096, name='fc2')(x))
-        x = nn.Dropout(0.5, deterministic=not train)(x)
+        x = nn.Dropout(0.5, deterministic=not use_dropout)(x)
         return nn.Dense(self.class_num, name='head')(x)
 
 
@@ -129,6 +131,8 @@ class MobileNetV2(nn.Module):
     @nn.compact
     def __call__(self, x, domain_label=None, train: bool = False,
                  use_dropout=None):
+        if use_dropout is None:
+            use_dropout = train
         x = nn.Conv(32, (3, 3), strides=2, padding='SAME', use_bias=False,
                     name='stem')(x)
         x = nn.relu6(BatchNorm(32, name='bn_stem')(x, not train))
@@ -144,7 +148,7 @@ class MobileNetV2(nn.Module):
         x = nn.Conv(1280, (1, 1), use_bias=False, name='head_conv')(x)
         x = nn.relu6(BatchNorm(1280, name='bn_head')(x, not train))
         x = jnp.mean(x, axis=(1, 2))
-        x = nn.Dropout(0.2, deterministic=not train)(x)
+        x = nn.Dropout(0.2, deterministic=not use_dropout)(x)
         return nn.Dense(self.class_num, name='classifier')(x)
 
 

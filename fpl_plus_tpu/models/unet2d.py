@@ -238,10 +238,12 @@ class UNet2DURPC(nn.Module):
 
 
 def _feature_dropout(x, rng):
-    """Drop the most-attended spatial positions (CCT FeatureDrop)."""
+    """Drop the most-attended spatial positions (CCT FeatureDrop; the
+    keep-quantile is drawn uniformly in [0.7, 0.9] like the CCT code)."""
     attention = jnp.mean(jnp.abs(x), axis=-1, keepdims=True)
     flat = attention.reshape(x.shape[0], -1)
-    thresh = jnp.quantile(flat, 0.7, axis=1)
+    q = jax.random.uniform(rng, (), minval=0.7, maxval=0.9)
+    thresh = jnp.quantile(flat, q, axis=1)
     thresh = thresh.reshape((-1,) + (1,) * (x.ndim - 1))
     return x * (attention < thresh)
 

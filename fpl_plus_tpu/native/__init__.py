@@ -164,13 +164,3 @@ def connected_components(mask: np.ndarray,
         labels = lab.astype(np.int32)
     labels = labels[0] if squeeze2d else labels
     return labels, int(n)
-
-
-def largest_components(mask: np.ndarray, k: int = 1,
-                       connectivity: int = 6) -> np.ndarray:
-    """Keep the k largest components of a binary mask
-    (reference util/image_process.py:139-170 get_largest_k_components)."""
-    labels, n = connected_components(mask, connectivity)
-    if n == 0:
-        return np.zeros_like(mask, dtype=np.uint8)
-    return ((labels > 0) & (labels <= k)).astype(np.uint8)

@@ -34,6 +34,11 @@ class CenterCrop(AbstractTransform):
         if input_dim == 3 and out_size[0] is None:
             out_size[0] = input_shape[1]
         crop_min = [(input_shape[i + 1] - out_size[i]) // 2 for i in range(input_dim)]
+        if any(m < 0 for m in crop_min):
+            raise ValueError(
+                'CenterCrop output_size {0} exceeds input shape {1}; pad '
+                'first (negative offsets would silently wrap)'.format(
+                    out_size, input_shape[1:]))
         crop_max = [lo + s for lo, s in zip(crop_min, out_size)]
         crop_min = [0] + crop_min
         crop_max = [input_shape[0]] + crop_max
@@ -149,14 +154,19 @@ class RandomCrop(CenterCrop):
 
 
 class RandomResizedCrop(CenterCrop):
-    """2D random crop + resize (reference crop.py:246-320)."""
+    """2D random crop + resize (reference crop.py:246-320). The resize makes
+    the crop-paste inverse ill-defined, so inversion is unsupported."""
 
     def __init__(self, params):
         AbstractTransform.__init__(self, params)
         self.output_size = self.param('output_size')
         self.scale = self.param('scale')
         self.ratio = self.param('ratio')
-        self.inverse = self.param('inverse', False)
+        self.inverse = False
+
+    def inverse_transform_for_prediction(self, sample):
+        raise ValueError('RandomResizedCrop predictions cannot be pasted '
+                         'back (the crop is resized); disable its inverse')
 
     def _get_crop_param(self, sample):
         input_shape = sample['image'].shape

@@ -29,6 +29,8 @@ class GammaCorrection(AbstractTransform):
             gamma = random.random() * (self.gamma_max - self.gamma_min) + self.gamma_min
             img = image[chn]
             v_min, v_max = img.min(), img.max()
+            if v_max <= v_min:   # constant channel: gamma is a no-op
+                continue
             img = (img - v_min) / (v_max - v_min)
             image[chn] = np.power(img, gamma) * (v_max - v_min) + v_min
         sample['image'] = image

@@ -48,6 +48,9 @@ class Rescale(AbstractTransform):
             if 'pixel_weight' in sample:
                 sample['pixel_weight'] = ndimage.zoom(
                     sample['pixel_weight'], scale, order=1)
+            if 'image1' in sample:
+                sample['image1'] = ndimage.zoom(sample['image1'], scale,
+                                                order=1)
         return sample
 
     def inverse_transform_for_prediction(self, sample):

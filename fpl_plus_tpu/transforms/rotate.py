@@ -49,6 +49,9 @@ class RandomRotate(AbstractTransform):
             if 'pixel_weight' in sample:
                 sample['pixel_weight'] = _apply_rotations(
                     sample['pixel_weight'], transform_param_list, 1)
+            if 'image1' in sample:
+                sample['image1'] = _apply_rotations(
+                    sample['image1'], transform_param_list, 1)
         return sample
 
     def inverse_transform_for_prediction(self, sample):

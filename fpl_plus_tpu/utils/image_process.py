@@ -76,9 +76,8 @@ def get_largest_k_components(image: np.ndarray, k: int = 1) -> np.ndarray:
     labeled, n = label_connected_components(image)
     if n == 0:
         return np.zeros_like(image)
-    sizes = np.bincount(labeled.reshape(-1), minlength=n + 1)[1:]
-    keep = np.argsort(sizes)[::-1][:min(k, n)] + 1
-    return np.isin(labeled, keep).astype(np.uint8)
+    # components are numbered 1..n in decreasing-size order already
+    return ((labeled > 0) & (labeled <= min(k, n))).astype(np.uint8)
 
 
 def get_euclidean_distance(image: np.ndarray, dim: int = 3,
