@@ -79,7 +79,8 @@ def _dsbn_prelu_pallas(x2d, scale, bias, mean, var, domain, alpha,
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # params, whole array
+            # params [n_domains, 4, C]: tiny, whole array resident in VMEM
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, c), lambda i, *_: (i, 0)),
         ],
         out_specs=pl.BlockSpec((tile, c), lambda i, *_: (i, 0)),
