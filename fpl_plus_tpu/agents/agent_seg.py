@@ -48,6 +48,25 @@ def to_channels_last(x: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(np.moveaxis(np.asarray(x), 1, -1))
 
 
+def _split_batch(batch):
+    """Yield per-sample dicts (batch dim kept at 1) from a collated batch —
+    the Inferer and the inverse-transform bookkeeping are per-volume."""
+    n = batch['image'].shape[0]
+    if n == 1:
+        yield batch
+        return
+    for i in range(n):
+        item = {}
+        for k, v in batch.items():
+            if isinstance(v, np.ndarray) and v.ndim > 0 and v.shape[0] == n:
+                item[k] = v[i:i + 1]
+            elif isinstance(v, (list, tuple)) and len(v) == n:
+                item[k] = [v[i]]
+            else:
+                item[k] = v
+        yield item
+
+
 class SegmentationAgent(NetRunAgent):
     def __init__(self, config: dict, stage: str = 'train'):
         super().__init__(config, stage)
@@ -72,11 +91,13 @@ class SegmentationAgent(NetRunAgent):
     def create_network(self):
         if self.module is None:
             self.module = create_network(self.config['network'])
-        params, batch_stats = init_network(self.module,
-                                           self.config['network'],
-                                           seed=self.random_seed)
-        self.variables = {'params': params, 'batch_stats': batch_stats}
-        logging.info('parameter number %d', param_count(params))
+        if self.variables is None:   # keep transplanted/trained variables
+            params, batch_stats = init_network(self.module,
+                                               self.config['network'],
+                                               seed=self.random_seed)
+            self.variables = {'params': params, 'batch_stats': batch_stats}
+        logging.info('parameter number %d',
+                     param_count(self.variables['params']))
 
     # -- device-side closures (stable identities: bound methods) -----------
     def _patch_forward(self, ctx, x):
@@ -94,6 +115,10 @@ class SegmentationAgent(NetRunAgent):
     def _make_inferer(self) -> Inferer:
         infer_cfg = dict(self.config['testing'])
         infer_cfg['class_num'] = self.config['network']['class_num']
+        # the agent's save/FPL/validation paths softmax+argmax on host and
+        # run inverse transforms on logits; device-side output modes are
+        # for direct Inferer users only
+        infer_cfg['output_mode'] = 'logits'
         return Inferer(infer_cfg)
 
     # -- training -----------------------------------------------------------
@@ -110,6 +135,15 @@ class SegmentationAgent(NetRunAgent):
         return batch
 
     # -- paradigm hooks (overridden by ssl/wsl/nll agents) ------------------
+    def updates_per_iteration(self) -> int:
+        """optimizer.update calls per iteration: the per-domain alternating
+        path and the dual-consistency path step once per domain."""
+        if self.config['training'].get('dual_consistency', False):
+            return 2
+        if not self.dual and self.num_domains > 1:
+            return self.num_domains
+        return 1
+
     def build_train_step(self, optimizer, loss_calc):
         """Default: supervised/dual-domain step. Reference semantics:
         dual=True -> joint loss (training_all); otherwise per-domain
@@ -234,7 +268,8 @@ class SegmentationAgent(NetRunAgent):
         # opt_state is empty).
         sched_params = dict(cfg_t)
         sched_params['last_iter'] = -1
-        optimizer = create_optimizer(cfg_t, sched_params)
+        optimizer = create_optimizer(cfg_t, sched_params,
+                                     self.updates_per_iteration())
         plateau = PlateauScheduler(sched_params)
         state = create_train_state(self.variables['params'],
                                    self.variables['batch_stats'], optimizer)
@@ -261,7 +296,8 @@ class SegmentationAgent(NetRunAgent):
                 # torch convention: last completed iteration
                 # (reference agent_abstract.py:334: iteration - 1)
                 sched_params['last_iter'] = iter_start - 1
-                optimizer = create_optimizer(cfg_t, sched_params)
+                optimizer = create_optimizer(cfg_t, sched_params,
+                                             self.updates_per_iteration())
                 state = create_train_state(loaded['state']['params'],
                                            loaded['state']['batch_stats'],
                                            optimizer)
@@ -320,13 +356,16 @@ class SegmentationAgent(NetRunAgent):
         def _prefetch_loop():
             while not stop_flag:
                 try:
-                    prefetch_q.put(self.next_train_batches(train_iters),
-                                   timeout=1.0)
-                except _queue.Full:
-                    continue
+                    item = self.next_train_batches(train_iters)
                 except Exception as exc:   # surface loader errors
                     prefetch_q.put(exc)
                     return
+                while not stop_flag:
+                    try:
+                        prefetch_q.put(item, timeout=1.0)
+                        break   # retry the put, never recompute (dropping a
+                    except _queue.Full:     # batch would skip training data)
+                        continue
 
         prefetch_thread = _threading.Thread(target=_prefetch_loop,
                                             daemon=True)
@@ -414,6 +453,18 @@ class SegmentationAgent(NetRunAgent):
         while not prefetch_q.empty():   # unblock the producer
             prefetch_q.get_nowait()
         prefetch_thread.join(timeout=5)
+
+        # guarantee a final checkpoint + _latest.txt even when iter_valid
+        # does not divide (iter_max - iter_start) (the reference never saves
+        # in that case and its auto-test crashes on the missing pointer)
+        if glob_it > iter_start and glob_it not in iter_save_list:
+            payload = {'params': state.params,
+                       'batch_stats': state.batch_stats,
+                       'opt_state': state.opt_state}
+            if state.extra is not None:
+                payload['extra'] = state.extra
+            ckpt_lib.save_checkpoint(ckpt_dir, ckpt_prefix, glob_it, payload,
+                                     max_val_dice)
 
         # save the best-performing checkpoint (reference :809-828)
         if best_state_host is not None:
@@ -558,51 +609,57 @@ class SegmentationAgent(NetRunAgent):
         infer_times = []
         uncertainty_list = {}
         rng = jax.random.PRNGKey(self.random_seed)
-        for data in self.test_loader:
-            images = np.asarray(data['image'], np.float32)
-            t0 = time.time()
-            if fpl:
-                rng, *subs = jax.random.split(rng, 7)
-                preds = self.inferer.run_mc(
-                    self._patch_forward,
-                    lambda r: (variables, jnp.int32(domain_label), r),
-                    images, subs)
-                maps = []
-                for pred in preds:
-                    d2 = dict(data)
-                    d2['predict'] = pred
+        for batch_data in self.test_loader:
+            # the Inferer processes one volume at a time; split batched
+            # test loaders (test_batch_size > 1) into per-volume samples
+            for data in _split_batch(batch_data):
+                images = np.asarray(data['image'], np.float32)
+                t0 = time.time()
+                if fpl:
+                    rng, *subs = jax.random.split(rng, 7)
+                    preds = self.inferer.run_mc(
+                        self._patch_forward,
+                        lambda r: (variables, jnp.int32(domain_label), r),
+                        images, subs)
+                    maps = []
+                    for pred in preds:
+                        d2 = dict(data)
+                        d2['predict'] = pred
+                        for transform in self.transform_list[::-1]:
+                            if transform.inverse:
+                                d2 = transform.\
+                                    inverse_transform_for_prediction(d2)
+                        maps.append(scipy.special.softmax(
+                            np.asarray(d2['predict']), axis=1))
+                    maps = np.concatenate(maps, axis=0)   # [6, K, *img]
+                    name = data['names'][0]
+                    if isinstance(name, (list, tuple)):
+                        name = name[0]
+                    # image-level uncertainty (reference :921-929)
+                    vars_ = maps.var(axis=0).sum()
+                    means = np.mean(maps[:, 1], axis=0)
+                    uncertainty = -1.0 * (means * np.log(means + 1e-6))
+                    boundary = np.where(uncertainty > 0.01, 1, 0).sum()
+                    uncer_one = 1 if boundary < 50 else vars_ / boundary
+                    uncertainty_list[name] = [uncer_one]
+                    logging.info('%s %s', name, uncer_one)
+                else:
+                    # reference agent_seg.py:845-852: test_time_dropout
+                    # switches Dropout layers to train mode for plain
+                    # inference too
+                    rng_td = None
+                    if tt_dropout:
+                        rng, rng_td = jax.random.split(rng)
+                    pred = self.inferer.run(
+                        self._patch_forward,
+                        (variables, jnp.int32(domain_label), rng_td), images)
+                    data['predict'] = pred
                     for transform in self.transform_list[::-1]:
                         if transform.inverse:
-                            d2 = transform.inverse_transform_for_prediction(d2)
-                    maps.append(scipy.special.softmax(
-                        np.asarray(d2['predict']), axis=1))
-                maps = np.concatenate(maps, axis=0)   # [6, K, *img]
-                name = data['names'][0]
-                if isinstance(name, (list, tuple)):
-                    name = name[0]
-                # image-level uncertainty (reference :921-929)
-                vars_ = maps.var(axis=0).sum()
-                means = np.mean(maps[:, 1], axis=0)
-                uncertainty = -1.0 * (means * np.log(means + 1e-6))
-                boundary = np.where(uncertainty > 0.01, 1, 0).sum()
-                uncer_one = 1 if boundary < 50 else vars_ / boundary
-                uncertainty_list[name] = [uncer_one]
-                logging.info('%s %s', name, uncer_one)
-            else:
-                # reference agent_seg.py:845-852: test_time_dropout switches
-                # Dropout layers to train mode for plain inference too
-                rng_td = None
-                if tt_dropout:
-                    rng, rng_td = jax.random.split(rng)
-                pred = self.inferer.run(
-                    self._patch_forward,
-                    (variables, jnp.int32(domain_label), rng_td), images)
-                data['predict'] = pred
-                for transform in self.transform_list[::-1]:
-                    if transform.inverse:
-                        data = transform.inverse_transform_for_prediction(data)
-                infer_times.append(time.time() - t0)
-                self.save_outputs(data)
+                            data = transform.\
+                                inverse_transform_for_prediction(data)
+                    infer_times.append(time.time() - t0)
+                    self.save_outputs(data)
         if fpl:
             pairs = sorted(zip(uncertainty_list.values(),
                                uncertainty_list.keys()))
@@ -628,7 +685,8 @@ class SegmentationAgent(NetRunAgent):
             all_vars.append({'params': loaded['state']['params'],
                              'batch_stats': loaded['state']['batch_stats']})
         infer_times = []
-        for data in self.test_loader:
+        for batch_data in self.test_loader:
+          for data in _split_batch(batch_data):
             images = np.asarray(data['image'], np.float32)
             t0 = time.time()
             preds = [self.inferer.run(self._patch_forward,

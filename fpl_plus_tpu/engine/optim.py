@@ -75,14 +75,23 @@ def create_lr_schedule(sched_params: dict) -> Optional[Callable]:
     raise ValueError('unsupported lr scheduler {0}'.format(name))
 
 
-def create_optimizer(optim_cfg: dict, sched_params: dict):
+def create_optimizer(optim_cfg: dict, sched_params: dict,
+                     updates_per_iteration: int = 1):
     """Build ``optax.inject_hyperparams``-wrapped optimizer so the learning
     rate lives in the optimizer state (plateau control + logging parity with
-    the reference's per-iteration ``lr`` scalar)."""
+    the reference's per-iteration ``lr`` scalar).
+
+    ``updates_per_iteration``: optimizer.update calls per training
+    iteration (2 for the per-domain alternating and dual-consistency
+    paths) — the schedule counts ITERATIONS like the reference's
+    MultiStepLR, so the internal update count is divided accordingly."""
     name = optim_cfg['optimizer']
     momentum = optim_cfg.get('momentum', 0.0)
     weight_decay = optim_cfg.get('weight_decay', 0.0)
     schedule = create_lr_schedule(sched_params)
+    if schedule is not None and updates_per_iteration > 1:
+        inner = schedule
+        schedule = lambda count: inner(count // updates_per_iteration)
     lr = schedule if schedule is not None else optim_cfg['learning_rate']
 
     def make(learning_rate):

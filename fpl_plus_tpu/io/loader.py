@@ -27,8 +27,6 @@ from typing import Dict, Iterator, List
 
 import numpy as np
 
-_WORKER_DATASET = None
-
 
 def _seed_all(seed: int):
     random.seed(seed)

@@ -102,3 +102,33 @@ def test_resume_from_checkpoint_without_opt_state(tiny_ws):
     agent2.run()   # must not crash; fresh optimizer + offset schedule
     lrs = dict(_lr_records(tiny_ws))
     assert abs(lrs[4] - 0.5e-3) < 1e-9        # milestone 2 already passed
+
+def test_alternating_path_schedule_counts_iterations(tiny_ws):
+    """The per-domain alternating path calls optimizer.update twice per
+    iteration; MultiStepLR must still count ITERATIONS (milestone 2 crossed
+    at iteration 2, not at update-count 2 = iteration 1)."""
+    import shutil
+    from fpl_plus_tpu.agents.agent_seg import SegmentationAgent
+    cfg = _config(tiny_ws, 0, 6)
+    shutil.copy(str(tiny_ws / 'train.csv'), str(tiny_ws / 'train2.csv'))
+    cfg['dataset']['1_train_csv'] = cfg['dataset'].pop('train_csv')
+    cfg['dataset']['2_train_csv'] = str(tiny_ws / 'train2.csv')
+    cfg['dataset']['1_valid_csv'] = cfg['dataset'].pop('valid_csv')
+    cfg['dataset']['2_valid_csv'] = cfg['dataset']['1_valid_csv']
+    cfg['network'].update({'net_type': 'UNet2D5_dsbn', 'num_domains': 2})
+    cfg['training'].update({'dual': False, 'val_t2': True,
+                            'ckpt_save_dir': str(tiny_ws / 'model' / 'alt')})
+    agent = SegmentationAgent(cfg, 'train')
+    agent.run()
+    import json
+    lrs = {}
+    with open(tiny_ws / 'model' / 'alt' / 'scalars.jsonl') as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec['tag'] == 'lr':
+                lrs[rec['step']] = rec['value']
+    # the logged lr lags one update (hyperparams hold the value used by the
+    # most recent update). At the step-6 log (after 11 updates) the
+    # iteration-counting schedule gives 11//2 = 5 < milestone 8 -> 0.5e-3;
+    # an uncorrected update count (11 >= 8) would give 0.25e-3.
+    assert abs(lrs[6] - 0.5e-3) < 1e-9, lrs
