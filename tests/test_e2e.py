@@ -188,3 +188,28 @@ def test_cli_bad_args():
     assert main([]) == 1
     with pytest.raises(ValueError):
         main(['train', '/nonexistent/exp.cfg'])
+
+
+def test_training_determinism(e2e_workspace):
+    """Same seed -> identical first-block training loss (SURVEY section 5.2
+    determinism contract: seeded host RNGs + per-item loader seeding +
+    explicit jax key threading)."""
+    import json
+    from fpl_plus_tpu.agents.agent_seg import SegmentationAgent
+    from fpl_plus_tpu.config.parser import parse_config, synchronize_config
+    cfg_file = _write_cfg(e2e_workspace)
+    losses = []
+    for run in range(2):
+        config = synchronize_config(parse_config(cfg_file))
+        config['training']['ckpt_save_dir'] = str(
+            e2e_workspace / 'model' / 'det{0}'.format(run))
+        config['training']['iter_max'] = 3
+        config['training']['iter_valid'] = 3
+        agent = SegmentationAgent(config, 'train')
+        agent.run()
+        with open(config['training']['ckpt_save_dir'] + '/scalars.jsonl') as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec['tag'] == 'loss':
+                    losses.append(rec['train'])
+    assert losses[0] == losses[1], losses
