@@ -240,3 +240,51 @@ rampup_end = 100
     rc = main_ssl(['train', str(cfg_path)])
     assert rc == 0
     assert (root / 'model' / 'ssl' / 'ssl_best.txt').exists()
+
+
+def test_ema_teacher_persists_across_resume(tmp_path, rng):
+    """MeanTeacher's EMA params (state.extra) must survive checkpoint save
+    + resume rather than resetting to a copy of the student."""
+    import jax
+    import jax.numpy as jnp
+    from fpl_plus_tpu.agents.ssl import SSLMethodDict
+    from fpl_plus_tpu.engine import ckpt as ckpt_lib
+    from fpl_plus_tpu.engine.train import create_train_state
+
+    cfg = _config('semi_supervised_learning', {}, {'ema_decay': 0.5})
+    agent = SSLMethodDict['MeanTeacher'](cfg, 'train')
+    agent.create_network()
+    optimizer = create_optimizer(cfg['training'],
+                                 dict(cfg['training'], last_iter=-1))
+    loss_calc = create_loss_calculator(cfg)
+    state = create_train_state(agent.variables['params'],
+                               agent.variables['batch_stats'], optimizer)
+    state = agent.init_extra_state(state)
+    step = agent.build_train_step(optimizer, loss_calc)
+    lab = _lab_batch(rng)
+    unlab = {'image': _lab_batch(rng)['image']}
+    for i in range(3):   # teacher drifts away from its init
+        hyper = {k: jnp.float32(v)
+                 for k, v in agent.training_hyper(i).items()}
+        state, _ = step(state, {'lab': lab, 'unlab': unlab},
+                        jax.random.PRNGKey(i), hyper)
+    payload = {'params': state.params, 'batch_stats': state.batch_stats,
+               'opt_state': state.opt_state, 'extra': state.extra}
+    ckpt_lib.save_checkpoint(str(tmp_path), 'mt', 3, payload, 0.5)
+
+    # fresh agent resumes: extra restored from the checkpoint
+    agent2 = SSLMethodDict['MeanTeacher'](cfg, 'train')
+    agent2.create_network()
+    state2 = create_train_state(agent2.variables['params'],
+                                agent2.variables['batch_stats'], optimizer)
+    state2 = agent2.init_extra_state(state2)
+    loaded = ckpt_lib.load_checkpoint(str(tmp_path / 'mt_3.ckpt'), {
+        'params': state2.params, 'batch_stats': state2.batch_stats,
+        'opt_state': state2.opt_state, 'extra': state2.extra})
+    saved_leaf = jax.tree_util.tree_leaves(state.extra)[0]
+    loaded_leaf = jax.tree_util.tree_leaves(loaded['state']['extra'])[0]
+    np.testing.assert_allclose(np.asarray(loaded_leaf),
+                               np.asarray(saved_leaf))
+    # and the restored teacher differs from a fresh student copy
+    fresh_leaf = jax.tree_util.tree_leaves(state2.extra)[0]
+    assert not np.allclose(np.asarray(loaded_leaf), np.asarray(fresh_leaf))
