@@ -72,10 +72,18 @@ def main():
     ctx = (variables, jnp.int32(1))
 
     inferer.run(predictor, ctx, img)          # warmup / compile
-    n_rep = 5
+    # depth-1 pipeline (the serving pattern): volume i's device->host
+    # transfer overlaps volume i+1's compute; end-to-end time over n_rep
+    # volumes, so the number stays an honest steady-state throughput
+    n_rep = 8
     t0 = time.time()
+    pending = None
     for _ in range(n_rep):
-        inferer.run(predictor, ctx, img)
+        fetch = inferer.run_async(predictor, ctx, img)
+        if pending is not None:
+            pending()
+        pending = fetch
+    pending()
     dt = (time.time() - t0) / n_rep
     vps = 1.0 / dt
     print(json.dumps({'metric': 'sliding_window_inference',

@@ -609,6 +609,23 @@ class SegmentationAgent(NetRunAgent):
         infer_times = []
         uncertainty_list = {}
         rng = jax.random.PRNGKey(self.random_seed)
+
+        # one-deep inference pipeline: volume i's device->host transfer,
+        # inverse transforms and NIfTI encode overlap volume i+1's device
+        # compute (run_async). On a transfer-bound link this roughly
+        # halves test-stage wall time with identical outputs.
+        pending = None    # (fetch, data, t0)
+
+        def _finish(entry):
+            fetch, p_data, p_t0 = entry
+            p_data['predict'] = fetch()
+            for transform in self.transform_list[::-1]:
+                if transform.inverse:
+                    p_data = transform.inverse_transform_for_prediction(
+                        p_data)
+            infer_times.append(time.time() - p_t0)
+            self.save_outputs(p_data)
+
         for batch_data in self.test_loader:
             # the Inferer processes one volume at a time; split batched
             # test loaders (test_batch_size > 1) into per-volume samples
@@ -650,16 +667,14 @@ class SegmentationAgent(NetRunAgent):
                     rng_td = None
                     if tt_dropout:
                         rng, rng_td = jax.random.split(rng)
-                    pred = self.inferer.run(
+                    fetch = self.inferer.run_async(
                         self._patch_forward,
                         (variables, jnp.int32(domain_label), rng_td), images)
-                    data['predict'] = pred
-                    for transform in self.transform_list[::-1]:
-                        if transform.inverse:
-                            data = transform.\
-                                inverse_transform_for_prediction(data)
-                    infer_times.append(time.time() - t0)
-                    self.save_outputs(data)
+                    if pending is not None:
+                        _finish(pending)
+                    pending = (fetch, data, t0)
+        if pending is not None:
+            _finish(pending)
         if fpl:
             pairs = sorted(zip(uncertainty_list.values(),
                                uncertainty_list.keys()))

@@ -23,6 +23,19 @@ from fpl_plus_tpu.config.parser import (logging_config, parse_config,
                                         synchronize_config)
 
 
+def _enable_compilation_cache() -> None:
+    """Persist XLA executables across processes (the remote TPU compile of
+    the sliding-window program is minutes-long; with the cache a fresh
+    ``test`` stage reuses the binary from a previous run)."""
+    cache_dir = os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
+                                      '/tmp/jaxcache')
+    try:
+        import jax
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+    except Exception:   # pragma: no cover - cache is best-effort
+        pass
+
+
 def _setup_logging(log_path: str) -> None:
     os.makedirs(os.path.dirname(log_path) or '.', exist_ok=True)
     root = logging.getLogger()
@@ -57,6 +70,7 @@ def main(argv=None):
             cfg_file))
     config = parse_config(cfg_file)
     config = synchronize_config(config)
+    _enable_compilation_cache()
     log_dir = config['training']['ckpt_save_dir']
     os.makedirs(log_dir, exist_ok=True)
     _setup_logging('{0}/log_{1}.txt'.format(log_dir, stage))
@@ -85,6 +99,7 @@ def _paradigm_main(argv, section, method_key, registry_getter, usage):
     stage, cfg_file = argv[0], argv[1]
     config = parse_config(cfg_file)
     config = synchronize_config(config)
+    _enable_compilation_cache()
     log_dir = config['training']['ckpt_save_dir']
     os.makedirs(log_dir, exist_ok=True)
     _setup_logging('{0}/log_{1}.txt'.format(log_dir, stage))

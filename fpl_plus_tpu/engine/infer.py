@@ -243,6 +243,19 @@ class Inferer:
 
     def run(self, predictor: Callable, ctx, image,
             tta_override: Optional[bool] = None):
+        return self.run_async(predictor, ctx, image, tta_override)()
+
+    def run_async(self, predictor: Callable, ctx, image,
+                  tta_override: Optional[bool] = None) -> Callable:
+        """Dispatch the full inference program and return a zero-argument
+        ``fetch`` closure that blocks for (and formats) the results.
+
+        JAX execution is asynchronous: the returned arrays' device->host
+        copies are enqueued immediately (``copy_to_host_async``), so a
+        caller can overlap volume i's transfer with volume i+1's compute —
+        the production pattern on a transfer-bound serving link, where it
+        hides most of the D2H cost. ``run`` is simply
+        ``run_async(...)()``."""
         tta_mode = self.config.get('tta_mode', 0)
         if tta_mode not in (0, 1):
             raise ValueError('Undefined tta_mode {0}'.format(tta_mode))
@@ -322,13 +335,23 @@ class Inferer:
                         slice(0, int(true_shape[d] * ratios[d]))
                         for d in range(dim))])
                 outs = cropped
-        # back to the host contract [1, K, *img] (list for multi-scale
-        # nets); label mode returns [1, *img] uint8 maps
-        if self.output_mode == 'label':
-            results = [np.asarray(o)[None] for o in outs]
-        else:
-            results = [np.moveaxis(np.asarray(o), -1, 0)[None] for o in outs]
-        return results[0] if len(results) == 1 else results
+        for o in outs:    # start D2H now so fetch() overlaps with later work
+            try:
+                o.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
+
+        def fetch():
+            # back to the host contract [1, K, *img] (list for multi-scale
+            # nets); label mode returns [1, *img] uint8 maps
+            if self.output_mode == 'label':
+                results = [np.asarray(o)[None] for o in outs]
+            else:
+                results = [np.moveaxis(np.asarray(o), -1, 0)[None]
+                           for o in outs]
+            return results[0] if len(results) == 1 else results
+
+        return fetch
 
     def run_mc(self, predictor: Callable, ctx_factory: Callable, image,
                rngs: List, tta_override: Optional[bool] = None
