@@ -283,3 +283,21 @@ def test_shape_bucketing(rng):
         assert np.isfinite(bucketed).all()
         # a per-voxel net is unaffected by window context: exact match
         np.testing.assert_allclose(bucketed, plain, atol=1e-4)
+
+
+def test_run_async_matches_run(rng):
+    """run_async is the pipelined serving API: interleaved dispatches must
+    return exactly what serial run() returns, in order."""
+    w_mat = rng.normal(size=(1, 2)).astype(np.float32)
+    predictor = LinearPredictor(w_mat)
+    cfg = {'sliding_window_enable': True, 'sliding_window_size': [4, 8, 8],
+           'sliding_window_stride': [4, 8, 8], 'tta_mode': 1}
+    for mode in ('logits', 'label'):
+        inf = Inferer(dict(cfg, output_mode=mode), patch_chunk=2)
+        imgs = [rng.normal(size=(1, 1, 8, 16, 16)).astype(np.float32)
+                for _ in range(3)]
+        serial = [inf.run(predictor, None, im) for im in imgs]
+        fetches = [inf.run_async(predictor, None, im) for im in imgs]
+        for ref, fetch in zip(serial, fetches):
+            np.testing.assert_array_equal(np.asarray(ref),
+                                          np.asarray(fetch()))
