@@ -704,10 +704,13 @@ class SegmentationAgent(NetRunAgent):
           for data in _split_batch(batch_data):
             images = np.asarray(data['image'], np.float32)
             t0 = time.time()
-            preds = [self.inferer.run(self._patch_forward,
-                                      (v, jnp.int32(domain_label), None),
-                                      images)
-                     for v in all_vars]
+            # dispatch every checkpoint's pass before fetching any result:
+            # the device works through the ensemble back-to-back while the
+            # host receives finished outputs (run_async pipelining)
+            fetches = [self.inferer.run_async(
+                self._patch_forward, (v, jnp.int32(domain_label), None),
+                images) for v in all_vars]
+            preds = [fetch() for fetch in fetches]
             data['predict'] = np.mean(preds, axis=0)
             for transform in self.transform_list[::-1]:
                 if transform.inverse:

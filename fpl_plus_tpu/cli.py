@@ -77,7 +77,14 @@ def main(argv=None):
     logging_config(config)
 
     agent = _make_agent(config, stage)
-    agent.run()
+    try:
+        agent.run()
+    except Exception:
+        # surface the failure through the flushed logging handlers: on a
+        # remote-device backend, teardown after an uncaught exception can
+        # hang with the buffered stderr traceback never reaching the user
+        logging.exception('%s stage failed', stage)
+        raise
 
     # after training, auto-run the test stage + evaluation
     # (reference net_run_dsbn/net_run.py:37-40)

@@ -359,6 +359,9 @@ class Inferer:
         """MC-dropout passes for FPL filtering: one full (TTA x sliding
         window) inference per rng key, dropout active
         (reference agent_seg.py:897-931 — 6 stochastic passes). The compiled
-        program is shared across passes (only ctx changes)."""
-        return [self.run(predictor, ctx_factory(rng), image, tta_override)
-                for rng in rngs]
+        program is shared across passes (only ctx changes); all passes are
+        dispatched before any result is fetched so the device runs them
+        back-to-back while finished outputs stream to the host."""
+        fetches = [self.run_async(predictor, ctx_factory(rng), image,
+                                  tta_override) for rng in rngs]
+        return [fetch() for fetch in fetches]
