@@ -61,6 +61,21 @@ class NetRunAgent(ABC):
         self.train_loaders = []
         self.valid_loaders = []
         self.test_loader = None
+        self.mesh = None   # populated lazily by mesh() below
+
+    def get_mesh(self):
+        """Device mesh for this stage, or None when the cfg requests a
+        single device (the default). Resolution: [training]/[testing]
+        ``mesh_devices`` (−1 = all visible) or a multi-entry ``gpus`` list —
+        the TPU-native surface for the reference's nn.DataParallel
+        (net_run_dsbn/agent_seg.py:693-698). Built lazily so importing the
+        agent never initializes a JAX backend."""
+        if self.mesh is None:
+            from fpl_plus_tpu.parallel import (make_mesh,
+                                               mesh_size_from_config)
+            n = mesh_size_from_config(self.config, self.stage)
+            self.mesh = make_mesh(n) if n > 1 else False
+        return self.mesh or None
 
     # -- injection points (reference agent_abstract.py:67-134) -------------
     def set_network_dict(self, net_dict):

@@ -44,8 +44,11 @@ from fpl_plus_tpu.utils.post_process import PostProcessDict
 from fpl_plus_tpu.utils.scalar_writer import ScalarWriter
 
 
-def to_channels_last(x: np.ndarray) -> jnp.ndarray:
-    return jnp.asarray(np.moveaxis(np.asarray(x), 1, -1))
+def to_channels_last(x: np.ndarray, sharding=None) -> jnp.ndarray:
+    arr = np.moveaxis(np.asarray(x), 1, -1)
+    if sharding is not None:   # place batch-sharded across the mesh now so
+        return jax.device_put(arr, sharding)   # H2D overlaps from prefetch
+    return jnp.asarray(arr)
 
 
 def _split_batch(batch):
@@ -119,19 +122,30 @@ class SegmentationAgent(NetRunAgent):
         # run inverse transforms on logits; device-side output modes are
         # for direct Inferer users only
         infer_cfg['output_mode'] = 'logits'
-        return Inferer(infer_cfg)
+        return Inferer(infer_cfg, mesh=self.get_mesh())
 
     # -- training -----------------------------------------------------------
+    def _batch_sharding(self):
+        """Batch-axis NamedSharding when a mesh is active, else None."""
+        mesh = self.get_mesh()
+        if mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return NamedSharding(mesh, P(mesh.axis_names[0]))
+
     def _batch_to_device(self, data: Dict) -> Dict:
-        batch = {'image': to_channels_last(data['image']),
-                 'label_prob': to_channels_last(data['label_prob'])}
+        sh = self._batch_sharding()
+        batch = {'image': to_channels_last(data['image'], sh),
+                 'label_prob': to_channels_last(data['label_prob'], sh)}
         if data.get('image1', None) is not None:
-            batch['image1'] = to_channels_last(data['image1'])
+            batch['image1'] = to_channels_last(data['image1'], sh)
         if self.fpl_uda and data.get('pixel_weight', None) is not None:
-            batch['pixel_weight'] = to_channels_last(data['pixel_weight'])
+            batch['pixel_weight'] = to_channels_last(data['pixel_weight'], sh)
             if data.get('image_weight', None) is not None:
-                batch['image_weight'] = jnp.asarray(
-                    np.asarray(data['image_weight'], np.float32))
+                w = np.asarray(data['image_weight'], np.float32)
+                batch['image_weight'] = (jax.device_put(w, sh)
+                                         if sh is not None else
+                                         jnp.asarray(w))
         return batch
 
     # -- paradigm hooks (overridden by ssl/wsl/nll agents) ------------------
@@ -316,6 +330,24 @@ class SegmentationAgent(NetRunAgent):
         loss_calc = create_loss_calculator(self.config, self.loss_dict)
         train_step = self.build_train_step(optimizer, loss_calc)
         state = self.init_extra_state(state)
+
+        # cfg-requested device mesh: data-parallel SPMD training — state
+        # replicated, per-domain batches sharded on the batch axis, XLA
+        # inserts the gradient psum over ICI (the reference's only
+        # scale-out is nn.DataParallel over its gpus list)
+        mesh = self.get_mesh()
+        if mesh is not None:
+            from fpl_plus_tpu.parallel import (make_sharded_train_step,
+                                               replicate)
+            bs = self.config['dataset']['train_batch_size']
+            if bs % mesh.size:
+                raise ValueError(
+                    'train_batch_size {0} must be divisible by the '
+                    '{1}-device mesh'.format(bs, mesh.size))
+            train_step = make_sharded_train_step(train_step, mesh)
+            state = replicate(state, mesh)
+            logging.info('data-parallel training over a %d-device mesh',
+                         mesh.size)
         if iter_start > 0 and state.extra is not None:
             # restore paradigm state (EMA teacher / discriminator) when the
             # checkpoint carries it; older checkpoints keep the fresh init
@@ -488,12 +520,17 @@ class SegmentationAgent(NetRunAgent):
             return float(self.config['training'].get('learning_rate', 0.0))
 
     def _scale_lr(self, state: TrainState, scale: float) -> TrainState:
+        """Apply the plateau LR scale. Only called when ReduceLROnPlateau is
+        enabled; the optimizer factory always wraps with inject_hyperparams,
+        so a missing hyperparams dict is a wiring bug — fail loudly rather
+        than silently losing the decay."""
         base = self.config['training']['learning_rate']
-        try:
-            state.opt_state.hyperparams['learning_rate'] = jnp.asarray(
-                base * scale, jnp.float32)
-        except Exception:
-            pass
+        if not hasattr(state.opt_state, 'hyperparams'):
+            raise RuntimeError(
+                'ReduceLROnPlateau needs an inject_hyperparams-wrapped '
+                'optimizer state; got {0}'.format(type(state.opt_state)))
+        state.opt_state.hyperparams['learning_rate'] = jnp.asarray(
+            base * scale, jnp.float32)
         return state
 
     def _write_scalars(self, writer, train_scalars, valid_scalars, lr_value,

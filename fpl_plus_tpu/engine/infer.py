@@ -209,6 +209,41 @@ def _sliding_window_full(predictor, ctx, vol: jnp.ndarray,
             for o, c in zip(outs, cnts)]
 
 
+@partial(jax.jit, static_argnames=('predictor', 'window', 'chunk', 'tta',
+                                   'output_mode', 'mesh'))
+def _sliding_window_full_sharded(predictor, ctx, vol: jnp.ndarray,
+                                 starts: jnp.ndarray, weights: jnp.ndarray,
+                                 window: Tuple[int, ...], chunk: int,
+                                 tta: bool, output_mode: str, mesh):
+    """Multi-device variant of ``_sliding_window_full``: the patch-start
+    grid is sharded across the mesh with ``shard_map`` (spatial parallelism,
+    SURVEY.md section 5.7) — every device accumulates its windows into a
+    local copy of the output volume and one ``psum`` per head over ICI
+    merges overlap sums and counters. ``starts``/``weights`` length must be
+    a multiple of n_devices * chunk (weight-0 duplicates pad the grid)."""
+    try:
+        from jax import shard_map
+    except ImportError:   # older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    axis = mesh.axis_names[0]
+    variants = _make_variants(vol, tta)
+
+    def local(ctx_l, volume_v, starts_l, weights_l):
+        outs, cnts = _sliding_window_jit(predictor, ctx_l, volume_v,
+                                         starts_l, weights_l, window, chunk)
+        outs = [jax.lax.psum(o, axis) for o in outs]
+        cnts = [jax.lax.psum(c, axis) for c in cnts]
+        return outs, cnts
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(), P(), P(axis), P(axis)),
+                   out_specs=(P(), P()))
+    outs, cnts = fn(ctx, variants, starts, weights)
+    return [_finalize(_unflip_mean(o / c[None], tta), output_mode)
+            for o, c in zip(outs, cnts)]
+
+
 @partial(jax.jit, static_argnames=('predictor', 'tta'))
 def _whole_volume_jit(predictor, ctx, vol: jnp.ndarray, tta: bool):
     preds = _as_list(predictor(ctx, _make_variants(vol, tta)))
@@ -231,9 +266,12 @@ class Inferer:
     dataset contract) — transposed once at the device boundary.
     """
 
-    def __init__(self, config: dict, patch_chunk: int = 2):
+    def __init__(self, config: dict, patch_chunk: int = 2, mesh=None):
         self.config = config
         self.patch_chunk = patch_chunk
+        # a jax.sharding.Mesh spreads the sliding-window patch grid across
+        # its devices (spatial parallelism); None = single-device
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
         # 'logits' (reference parity), 'prob', or 'label' (device-side
         # argmax, minimal transfer — for serving)
         self.output_mode = config.get('output_mode', 'logits')
@@ -317,16 +355,34 @@ class Inferer:
                     img_shape = vol.shape[:-1]
             starts = window_grid(img_shape, window, stride)
             chunk = min(self.patch_chunk, len(starts))
-            pad = (-len(starts)) % chunk
+            n_dev = self.mesh.size if self.mesh is not None else 1
+            pad = (-len(starts)) % (chunk * n_dev)
             weights = np.ones(len(starts) + pad, np.float32)
             if pad:   # duplicate starts round out the last chunk at weight 0
-                starts = np.concatenate([starts, starts[:pad]], 0)
+                starts = np.concatenate(
+                    [starts, np.tile(starts, (pad // len(starts) + 1, 1))
+                     [:pad]], 0)
                 weights[len(starts) - pad:] = 0.0
-            outs = _sliding_window_full(predictor, ctx, vol,
-                                        jnp.asarray(starts),
-                                        jnp.asarray(weights),
-                                        tuple(window), chunk, tta,
-                                        self.output_mode)
+            if self.mesh is not None:
+                # place inputs on the mesh: variables/volume replicated,
+                # the start grid sharded (checkpoint-loaded variables may
+                # be committed to one device; device_put is a no-op when
+                # placement already matches)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                repl = NamedSharding(self.mesh, P())
+                grid = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+                outs = _sliding_window_full_sharded(
+                    predictor, jax.device_put(ctx, repl),
+                    jax.device_put(vol, repl),
+                    jax.device_put(jnp.asarray(starts), grid),
+                    jax.device_put(jnp.asarray(weights), grid),
+                    tuple(window), chunk, tta, self.output_mode, self.mesh)
+            else:
+                outs = _sliding_window_full(predictor, ctx, vol,
+                                            jnp.asarray(starts),
+                                            jnp.asarray(weights),
+                                            tuple(window), chunk, tta,
+                                            self.output_mode)
             if bucket and img_shape != true_shape:
                 cropped = []
                 for o in outs:

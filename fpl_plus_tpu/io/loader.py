@@ -4,8 +4,9 @@ Replaces torch.utils.data.DataLoader (reference
 net_run_dsbn/agent_abstract.py:241-318: per-domain loaders, 16-32 workers,
 seeded generators + worker_init_fn). Design:
 
-* persistent fork-based worker processes pulling item indices from a task
-  queue and pushing decoded+transformed sample dicts back;
+* persistent worker processes (forkserver/spawn — fork would duplicate any
+  initialized JAX/TPU client state into children) pulling item indices from
+  a task queue and pushing decoded+transformed sample dicts back;
 * **per-item seeding** (``seed + items_served``) of python/numpy RNG before
   each ``__getitem__`` — stronger determinism than the reference's
   per-worker seeding (results do not depend on worker count or scheduling);
@@ -153,10 +154,9 @@ class DataLoader:
         chains reshuffled epochs, so the worker prefetch window stays full
         across epoch boundaries (a per-epoch window stalls when the dataset
         is smaller than the window). Batches always have ``batch_size``
-        items (epochs wrap mid-batch), matching an endless sampler."""
-        self._ensure_pool()
-        window = max(self.num_workers * self.prefetch_factor,
-                     self.batch_size)
+        items (epochs wrap mid-batch), matching an endless sampler — the
+        constant batch shape also keeps XLA from retracing on short final
+        batches and is required by the mesh-sharded training step."""
 
         def index_stream():
             while True:
@@ -165,6 +165,20 @@ class DataLoader:
                 self._epoch += 1
 
         idx_iter = index_stream()
+        if self.num_workers == 0:   # synchronous variant, same seeding rule
+            counter = 0
+            buf = []
+            while True:
+                _seed_all(self.seed + counter)
+                buf.append(self.dataset[next(idx_iter)])
+                counter += 1
+                if len(buf) == self.batch_size:
+                    yield collate(buf)
+                    buf = []
+
+        self._ensure_pool()
+        window = max(self.num_workers * self.prefetch_factor,
+                     self.batch_size)
         submitted = 0
         received = {}
         next_out = 0
@@ -228,10 +242,11 @@ class DataLoader:
 
 def repeat_loader(loader) -> Iterator:
     """Endless iterator over a loader (reference repeat_dataloader,
-    agent_seg.py:150-153). Worker-backed loaders stream without epoch
-    barriers so the prefetch window pipelines across epoch boundaries
-    (crucial when the dataset is smaller than the window)."""
-    if isinstance(loader, DataLoader) and loader.num_workers > 0:
+    agent_seg.py:150-153). DataLoaders stream without epoch barriers so
+    batches keep a constant ``batch_size`` shape (no XLA retrace on short
+    final batches; the mesh-sharded step requires it) and the worker
+    prefetch window pipelines across epoch boundaries."""
+    if isinstance(loader, DataLoader):
         yield from loader.stream()
     else:
         while True:

@@ -34,6 +34,48 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = 'data') -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def mesh_size_from_config(config: dict, stage: str = 'train') -> int:
+    """Resolve how many devices a cfg requests — the product surface for
+    scale-out (the reference's only knob is the ``gpus`` list consumed by
+    ``nn.DataParallel``, net_run_dsbn/agent_seg.py:693-698).
+
+    Resolution order per stage section ([testing] for stage 'test',
+    [training] otherwise; [testing] falls back to [training]):
+
+    * ``mesh_devices = N`` — explicit mesh size; ``-1`` means all visible
+      devices;
+    * otherwise a multi-entry ``gpus`` list maps to its length (parity with
+      DataParallel semantics; single-entry lists stay single-device).
+
+    The result is clamped to ``jax.device_count()`` with a loud warning —
+    the cfg may be written for a larger slice than the current host sees.
+    """
+    import logging
+    sections = ['testing', 'training'] if stage == 'test' else ['training']
+    n = None
+    for sec in sections:
+        n = (config.get(sec, {}) or {}).get('mesh_devices', None)
+        if n is not None:
+            break
+    if n is None:
+        for sec in sections:
+            gpus = (config.get(sec, {}) or {}).get('gpus', None)
+            if isinstance(gpus, (list, tuple)) and len(gpus) > 0:
+                n = len(gpus)
+                break
+    if n is None:
+        return 1
+    n = int(n)
+    if n == -1:
+        n = jax.device_count()
+    avail = jax.device_count()
+    if n > avail:
+        logging.warning('config requests a %d-device mesh but only %d '
+                        'device(s) are visible; clamping', n, avail)
+        n = avail
+    return max(n, 1)
+
+
 def replicate(tree, mesh: Mesh):
     sharding = NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)
@@ -47,21 +89,27 @@ def shard_batch(tree, mesh: Mesh, axis: str = 'data'):
 
 def make_sharded_train_step(train_step: Callable, mesh: Mesh,
                             axis: str = 'data') -> Callable:
-    """Wrap a jitted train step with state-replicated / batch-sharded
-    shardings. The caller must place state/batches accordingly
-    (``replicate`` / ``shard_batch``); jit then propagates the SPMD
-    partitioning and inserts the grad all-reduce."""
+    """Wrap a train step with state-replicated / batch-sharded constraints.
+
+    Any extra positional arguments after ``(state, batches, rng)`` (e.g. the
+    agent's per-iteration hyper dict) ride along replicated. Inputs may be
+    host arrays — the constraints place them — but pre-placing with
+    ``replicate``/``shard_batch`` (ideally from a prefetch thread) overlaps
+    the H2D transfer with compute. jit propagates the SPMD partitioning and
+    inserts the gradient ``psum`` over ICI because the loss is a mean over
+    the sharded batch axis."""
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(axis))
 
-    def sharded(state, batches, rng):
+    def sharded(state, batches, rng, *extra):
+        state = jax.lax.with_sharding_constraint(state, repl)
         batches = jax.tree_util.tree_map(
             lambda x: jax.lax.with_sharding_constraint(x, data), batches)
-        return train_step(state, batches, rng)
+        new_state, metrics = train_step(state, batches, rng, *extra)
+        new_state = jax.lax.with_sharding_constraint(new_state, repl)
+        return new_state, metrics
 
-    return jax.jit(sharded, donate_argnums=(0,),
-                   in_shardings=(repl, data, repl),
-                   out_shardings=(repl, repl))
+    return jax.jit(sharded, donate_argnums=(0,))
 
 
 def sharded_sliding_window(predictor: Callable, window: Tuple[int, ...],
