@@ -1,14 +1,22 @@
-"""Headline benchmark: sliding-window + flip-TTA inference volumes/sec.
+"""Headline benchmark: both reference hot loops on the flagship recipe.
 
-Runs the flagship UNet2D5_dsbn (the exact `[network]` of the reference's
-config_dual/data_vs/vs_t1s_g.cfg: 22.1M used params) over a real-size VS
-hrT2 volume (40 x 160 x 272) with the recipe's [testing] settings (window
-[28,128,128], stride [28,128,128], 4-flip TTA) and prints ONE JSON line.
+Prints ONE JSON line. Primary metric (driver contract): sliding-window +
+flip-TTA inference volumes/sec on the exact `[testing]` settings of the
+reference's config_dual/data_vs/vs_t1s_g.cfg (window [28,128,128], stride
+[28,128,128], 4-flip TTA) over a real-size VS hrT2 volume (40 x 160 x 272),
+with the flagship UNet2D5_dsbn (the recipe's `[network]`: 22.1M used params).
+Extra fields on the same line:
 
-Baseline: the reference implementation's own Inferer + UNet2D5_dsbn on
-PyTorch CPU (8 threads) measured on this machine at 154.9 s/volume
-(0.006455 volumes/sec) for the identical volume/config — see
-BASELINE.md / SURVEY.md section 6 (the repo publishes no numbers of its own).
+* ``train_step``: the other hot loop (SURVEY.md section 3 —
+  agent_seg.py:336-372): dual-domain joint train step, batch 4+4, crop
+  [28,128,128], DiceLoss + entropy + Adam — seconds/step.
+* ``e2e_test_stage``: serving throughput measured end to end — host NIfTI
+  decode + normalize + device inference + device argmax + NIfTI encode/save.
+
+Baselines: the reference implementation's own code on PyTorch CPU
+(8 threads), measured on this machine for the identical volume/config —
+154.9 s/volume inference, 166.2 s/step training (BASELINE.md; the repo
+publishes no numbers of its own).
 """
 import json
 import os
@@ -21,39 +29,26 @@ import numpy as np
 
 REFERENCE_VOLUME = '/root/reference/dataset/hrT2_test/vs_gk_9_t2.nii.gz'
 BASELINE_VOL_PER_SEC = 0.006455   # reference torch CPU, same volume+config
+BASELINE_TRAIN_STEP_SEC = 166.2   # reference torch CPU dual-domain step
+
+NET_CFG = {'net_type': 'UNet2D5_dsbn', 'num_domains': 2, 'class_num': 2,
+           'in_chns': 1, 'feature_chns': [32, 64, 128, 256, 512],
+           'conv_dims': [2, 2, 3, 3, 3],
+           'dropout': [0.0, 0.0, 0.3, 0.4, 0.5], 'bilinear': False}
 
 
-def load_volume() -> np.ndarray:
+def load_volume_raw() -> np.ndarray:
+    """Raw [C, D, H, W] decode (geometry handled by the e2e pass)."""
     if os.path.exists(REFERENCE_VOLUME):
         from fpl_plus_tpu.io.image_io import load_image_as_nd_array
-        img = load_image_as_nd_array(REFERENCE_VOLUME)['data_array']
-    else:
-        img = np.random.RandomState(0).normal(
-            size=(1, 40, 160, 272)).astype(np.float32)
-    img = (img - img.mean()) / (img.std() + 1e-6)
-    return img[None].astype(np.float32)   # [1, C, D, H, W]
+        return load_image_as_nd_array(REFERENCE_VOLUME)['data_array']
+    return np.random.RandomState(0).normal(
+        size=(1, 40, 160, 272)).astype(np.float32)
 
 
-def main():
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    import jax
+def bench_inference(module, variables, img) -> float:
     import jax.numpy as jnp
-    try:
-        jax.config.update('jax_compilation_cache_dir',
-                          os.environ['JAX_COMPILATION_CACHE_DIR'])
-    except Exception:
-        pass
-    from functools import partial
-    from fpl_plus_tpu.models.registry import create_network, init_network
     from fpl_plus_tpu.engine.infer import Inferer
-
-    net_cfg = {'net_type': 'UNet2D5_dsbn', 'num_domains': 2, 'class_num': 2,
-               'in_chns': 1, 'feature_chns': [32, 64, 128, 256, 512],
-               'conv_dims': [2, 2, 3, 3, 3],
-               'dropout': [0.0, 0.0, 0.3, 0.4, 0.5], 'bilinear': False}
-    module = create_network(net_cfg)
-    params, batch_stats = init_network(module, net_cfg)
-    variables = {'params': params, 'batch_stats': batch_stats}
 
     # output_mode='label': the serving path — device-side argmax, the
     # final uint8 label volume is what crosses to the host (the reference
@@ -68,9 +63,7 @@ def main():
         return out[0] if isinstance(out, (tuple, list)) else out
 
     inferer = Inferer(test_cfg, patch_chunk=2)
-    img = load_volume()
     ctx = (variables, jnp.int32(1))
-
     inferer.run(predictor, ctx, img)          # warmup / compile
     # depth-1 pipeline (the serving pattern): volume i's device->host
     # transfer overlaps volume i+1's compute; end-to-end time over n_rep
@@ -84,11 +77,142 @@ def main():
             pending()
         pending = fetch
     pending()
-    dt = (time.time() - t0) / n_rep
-    vps = 1.0 / dt
-    print(json.dumps({'metric': 'sliding_window_inference',
-                      'value': round(vps, 4), 'unit': 'volumes/sec',
-                      'vs_baseline': round(vps / BASELINE_VOL_PER_SEC, 1)}))
+    return n_rep / (time.time() - t0)
+
+
+def bench_train_step(module, variables) -> float:
+    import jax
+    import jax.numpy as jnp
+    from fpl_plus_tpu.engine.optim import create_optimizer
+    from fpl_plus_tpu.engine.train import create_train_state, make_train_step
+    from fpl_plus_tpu.losses import SegLossDict
+
+    import jax as _jax
+    optimizer = create_optimizer(
+        {'optimizer': 'Adam', 'learning_rate': 1e-4, 'momentum': 0.9,
+         'weight_decay': 0.0}, {'lr_scheduler': None})
+    # the jitted step donates its state; copy so the shared eval variables
+    # survive for the other benchmarks
+    state = create_train_state(
+        _jax.tree_util.tree_map(jnp.copy, variables['params']),
+        _jax.tree_util.tree_map(jnp.copy, variables['batch_stats']),
+        optimizer)
+    loss_calc = SegLossDict['DiceLoss']({})
+    step = make_train_step(module.apply, loss_calc, optimizer,
+                           num_domains=2, joint=True, fpl_uda=True)
+
+    rs = np.random.RandomState(0)
+
+    def batch():
+        x = rs.normal(size=(4, 28, 128, 128, 1)).astype(np.float32)
+        y = (x[..., 0] > 0.5).astype(np.int32)
+        return {'image': jnp.asarray(x),
+                'label_prob': jnp.asarray(np.eye(2, dtype=np.float32)[y]),
+                'pixel_weight': jnp.asarray(
+                    rs.uniform(0, 1, x.shape).astype(np.float32)),
+                'image_weight': jnp.asarray(
+                    rs.uniform(0.5, 1, (4,)).astype(np.float32))}
+
+    batches = (batch(), batch())
+    rng = jax.random.PRNGKey(0)
+    state, _ = step(state, batches, rng)      # warmup / compile
+    jax.block_until_ready(state.params)
+    n_rep = 10
+    t0 = time.time()
+    for _ in range(n_rep):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, batches, sub)
+    jax.block_until_ready(state.params)
+    return (time.time() - t0) / n_rep
+
+
+def bench_e2e_test_stage(module, variables) -> float:
+    """Full serving path per volume: NIfTI decode -> normalize (host) ->
+    device sliding-window+TTA inference with device argmax -> NIfTI
+    encode/save, pipelined depth-1 like the agent's test stage."""
+    import tempfile
+    import jax.numpy as jnp
+    from fpl_plus_tpu.engine.infer import Inferer
+    from fpl_plus_tpu.io.image_io import (load_image_as_nd_array,
+                                          save_nd_array_as_image)
+
+    test_cfg = {'sliding_window_enable': True,
+                'sliding_window_size': [28, 128, 128],
+                'sliding_window_stride': [28, 128, 128],
+                'tta_mode': 1, 'class_num': 2, 'output_mode': 'label'}
+
+    def predictor(ctx, x):
+        out = module.apply(ctx[0], x, ctx[1], False)
+        return out[0] if isinstance(out, (tuple, list)) else out
+
+    inferer = Inferer(test_cfg, patch_chunk=2)
+    ctx = (variables, jnp.int32(1))
+    have_ref = os.path.exists(REFERENCE_VOLUME)
+    tmpdir = tempfile.mkdtemp(prefix='fplx_bench_')
+
+    def one_volume(i, pending):
+        if have_ref:
+            img = load_image_as_nd_array(REFERENCE_VOLUME)['data_array']
+        else:
+            img = np.random.RandomState(i).normal(
+                size=(1, 40, 160, 272)).astype(np.float32)
+        img = ((img - img.mean()) / (img.std() + 1e-6))[None]
+        fetch = inferer.run_async(predictor, ctx, img.astype(np.float32))
+        if pending is not None:
+            _finish(pending)
+        return fetch
+
+    def _finish(entry):
+        fetch, i = entry
+        label = np.asarray(fetch()[0], np.uint8)
+        save_nd_array_as_image(
+            label, os.path.join(tmpdir, 'pred_{0}.nii.gz'.format(i)),
+            REFERENCE_VOLUME if have_ref else None)
+
+    _finish((one_volume(0, None), 0))         # warmup / compile
+    n_rep = 6
+    t0 = time.time()
+    pending = None
+    for i in range(n_rep):
+        fetch = one_volume(i, None)
+        if pending is not None:
+            _finish(pending)
+        pending = (fetch, i)
+    _finish(pending)
+    return n_rep / (time.time() - t0)
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import jax
+    try:
+        jax.config.update('jax_compilation_cache_dir',
+                          os.environ['JAX_COMPILATION_CACHE_DIR'])
+    except Exception:
+        pass
+    from fpl_plus_tpu.models.registry import create_network, init_network
+
+    module = create_network(NET_CFG)
+    params, batch_stats = init_network(module, NET_CFG)
+    variables = {'params': params, 'batch_stats': batch_stats}
+
+    img = load_volume_raw()
+    img = ((img - img.mean()) / (img.std() + 1e-6))[None].astype(np.float32)
+
+    vps = bench_inference(module, variables, img)
+    step_sec = bench_train_step(module, variables)
+    e2e_vps = bench_e2e_test_stage(module, variables)
+
+    print(json.dumps({
+        'metric': 'sliding_window_inference',
+        'value': round(vps, 4), 'unit': 'volumes/sec',
+        'vs_baseline': round(vps / BASELINE_VOL_PER_SEC, 1),
+        'train_step': {
+            'value': round(step_sec, 4), 'unit': 'sec/step',
+            'vs_baseline': round(BASELINE_TRAIN_STEP_SEC / step_sec, 1)},
+        'e2e_test_stage': {
+            'value': round(e2e_vps, 4), 'unit': 'volumes/sec',
+            'vs_baseline': round(e2e_vps / BASELINE_VOL_PER_SEC, 1)}}))
 
 
 if __name__ == '__main__':

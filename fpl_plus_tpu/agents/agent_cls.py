@@ -55,17 +55,39 @@ class ClassificationAgent(NetRunAgent):
             with_label=(real_stage != 'test'), transform=transform)
 
     def create_network(self):
-        net_name = self.config['network']['net_type']
+        net_cfg = self.config['network']
+        net_name = net_cfg['net_type']
         if net_name not in self.net_dict:
             raise ValueError('Undefined network {0}'.format(net_name))
-        self.module = self.net_dict[net_name](self.config['network'])
-        chns = self.config['network'].get('input_chns', 3)
+        self.module = self.net_dict[net_name](net_cfg)
+        chns = net_cfg.get('input_chns', 3)
         x = jnp.zeros((1, 64, 64, chns), jnp.float32)
         rngs = {'params': jax.random.PRNGKey(self.random_seed),
                 'dropout': jax.random.PRNGKey(self.random_seed + 1)}
-        variables = self.module.init(rngs, x, None, False)
+        import flax.core
+        variables = flax.core.unfreeze(self.module.init(rngs, x, None, False))
         self.variables = {'params': variables.get('params', {}),
                           'batch_stats': variables.get('batch_stats', {})}
+        if net_cfg.get('pretrain', False):
+            # the reference downloads torchvision ImageNet weights
+            # (torch_pretrained_net.py:30-40); zero-egress here, so
+            # [network] pretrained_path supplies the .pth to convert —
+            # backbone transplanted, head (and first conv when
+            # input_chns != 3) fresh, mirroring the reference replacement
+            path = net_cfg.get('pretrained_path', None)
+            if path:
+                from fpl_plus_tpu.utils.torch_convert import (
+                    load_torchvision_pretrained, transplant_params)
+                p, s = load_torchvision_pretrained(net_name, path, net_cfg)
+                n = transplant_params(self.variables['params'], p)
+                n += transplant_params(self.variables['batch_stats'], s)
+                logging.info('transplanted %d pretrained tensors from %s',
+                             n, path)
+            else:
+                logging.warning(
+                    'pretrain=True but no [network] pretrained_path set; '
+                    'random init (zero-egress: cannot download torchvision '
+                    'weights)')
 
     def _loss_calculator(self):
         loss_name = self.config['training'].get('loss_type',

@@ -95,20 +95,44 @@ def _as_list(out):
 @partial(jax.jit, static_argnames=('predictor', 'window', 'chunk'))
 def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
                         starts: jnp.ndarray, weights: jnp.ndarray,
-                        window: Tuple[int, ...], chunk: int):
+                        window: Tuple[int, ...], chunk: int,
+                        pads: Optional[jnp.ndarray] = None):
     """Core program: volume_v [V, *img, C], starts [P, dim] (P % chunk == 0),
     ``weights`` [P] scaling each window's contribution to output AND counter
     (0 for the duplicate starts that round out the last chunk — a nonzero
     weight would bias overlap averaging toward duplicated windows),
     ``ctx`` an arbitrary traced pytree handed to ``predictor(ctx, patches)``.
 
+    ``pads``: TRACED [dim] i32 array of trailing per-dim padding applied to
+    the volume before flipping, for shape bucketing (traced, not static, so
+    every pad amount within a bucket reuses one compiled program). The
+    start grid is computed on the TRUE (unpadded) shape, so windows of the
+    identity variant never read padded voxels; for a flipped variant the
+    real data sits at [pad, padded) along the flipped dims, so its starts
+    are shifted by the pad there — making the bucketed program voxel-exact
+    vs the unbucketed one (see Inferer.run_async).
+
     Returns (outputs, counters): lists with one [V, *img_i, K_i] output and
-    one [*img_i, 1] counter per prediction head (multi-scale nets produce
-    several; single-output nets produce singleton lists)."""
+    one [V, *img_i, 1] counter per prediction head (multi-scale nets produce
+    several; single-output nets produce singleton lists). Counters carry the
+    variant axis because shifted grids overlap differently per variant."""
     v_num = volume_v.shape[0]
     img_shape = volume_v.shape[1:-1]
     dim = len(img_shape)
     in_c = volume_v.shape[-1]
+
+    # per-variant start offsets: pad shift along each flipped dim (the flip
+    # mask is static; the pad amounts stay traced). Without bucketing
+    # (pads=None, a STATIC distinction) the offsets vanish and the counter
+    # drops its variant axis — the original cheaper accumulation.
+    per_variant = pads is not None
+    if per_variant:
+        flips = (_FLIPS_3D if dim == 3 else _FLIPS_2D)[:v_num]
+        mask = jnp.asarray([[1 if d in ax else 0 for d in range(dim)]
+                            for ax in flips], jnp.int32)
+        offs = mask * pads[None, :].astype(jnp.int32)
+    else:
+        offs = jnp.zeros((v_num, dim), jnp.int32)
 
     def extract(vol, s0):
         return jax.lax.dynamic_slice(vol, tuple(s0) + (0,), window + (in_c,))
@@ -131,7 +155,8 @@ def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
     zero = (starts[0, 0] * 0).astype(jnp.float32)
     outs0 = [jnp.zeros((v_num,) + out_shapes[i] + (ks[i],), jnp.float32)
              + zero for i in range(len(probes))]
-    cnts0 = [jnp.zeros(out_shapes[i] + (1,), jnp.float32) + zero
+    cnt_lead = (v_num,) if per_variant else ()
+    cnts0 = [jnp.zeros(cnt_lead + out_shapes[i] + (1,), jnp.float32) + zero
              for i in range(len(probes))]
     ones_wins = [jnp.ones(windows[i] + (1,), jnp.float32)
                  for i in range(len(probes))]
@@ -151,9 +176,13 @@ def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
     def body(carry, chunk_in):
         starts_c, weights_c = chunk_in
         outs, cnts = carry
-        # [V, chunk, *win, C]
-        patches = jax.vmap(lambda vol: jax.vmap(lambda s: extract(vol, s))(
-            starts_c))(volume_v)
+        # [V, chunk, *win, C] — each variant reads at its shifted grid
+        if per_variant:
+            patches = jax.vmap(lambda vol, off: jax.vmap(
+                lambda s: extract(vol, s + off))(starts_c))(volume_v, offs)
+        else:
+            patches = jax.vmap(lambda vol: jax.vmap(
+                lambda s: extract(vol, s))(starts_c))(volume_v)
         flat = patches.reshape((v_num * chunk,) + window + (in_c,))
         preds = _as_list(predictor(ctx, flat))
         new_outs, new_cnts = [], []
@@ -161,19 +190,31 @@ def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
             pred = pred.astype(jnp.float32).reshape(
                 (v_num, chunk) + windows[i] + (ks[i],))
 
-            def acc_variant(out_v, preds_v, i=i):
+            def acc_variant(out_v, preds_v, off, i=i):
                 def acc_one(j, o):
-                    return add_at(o, scaled(starts_c[j], i),
+                    return add_at(o, scaled(starts_c[j] + off, i),
                                   preds_v[j] * weights_c[j], windows[i])
                 return jax.lax.fori_loop(0, chunk, acc_one, out_v)
 
-            new_outs.append(jax.vmap(partial(acc_variant, i=i))(outs[i],
-                                                                pred))
+            new_outs.append(jax.vmap(partial(acc_variant, i=i))(
+                outs[i], pred, offs))
 
-            def cnt_one(j, c, i=i):
-                return add_at(c, scaled(starts_c[j], i),
-                              ones_wins[i] * weights_c[j], windows[i])
-            new_cnts.append(jax.lax.fori_loop(0, chunk, cnt_one, cnts[i]))
+            if per_variant:
+                def cnt_variant(c_v, off, i=i):
+                    def cnt_one(j, c):
+                        return add_at(c, scaled(starts_c[j] + off, i),
+                                      ones_wins[i] * weights_c[j],
+                                      windows[i])
+                    return jax.lax.fori_loop(0, chunk, cnt_one, c_v)
+
+                new_cnts.append(jax.vmap(partial(cnt_variant, i=i))(
+                    cnts[i], offs))
+            else:
+                def cnt_one(j, c, i=i):
+                    return add_at(c, scaled(starts_c[j], i),
+                                  ones_wins[i] * weights_c[j], windows[i])
+                new_cnts.append(jax.lax.fori_loop(0, chunk, cnt_one,
+                                                  cnts[i]))
         return (new_outs, new_cnts), None
 
     (outs, cnts), _ = jax.lax.scan(body, (outs0, cnts0),
@@ -197,16 +238,20 @@ def _finalize(out, output_mode: str):
 def _sliding_window_full(predictor, ctx, vol: jnp.ndarray,
                          starts: jnp.ndarray, weights: jnp.ndarray,
                          window: Tuple[int, ...],
-                         chunk: int, tta: bool, output_mode: str = 'logits'):
+                         chunk: int, tta: bool, output_mode: str = 'logits',
+                         pads: Optional[jnp.ndarray] = None):
     """One-dispatch program per volume: flip variants, sliding-window
     accumulation, overlap division, TTA un-flip averaging and the output
     head all fused — a single host round-trip matters on high-latency
-    device links."""
+    device links. With ``pads`` (shape bucketing) the counter is zero in
+    the padded margin (no window ever writes there); the epsilon keeps the
+    division clean and the caller crops the margin away."""
     variants = _make_variants(vol, tta)
     outs, cnts = _sliding_window_jit(predictor, ctx, variants, starts,
-                                     weights, window, chunk)
-    return [_finalize(_unflip_mean(o / c[None], tta), output_mode)
-            for o, c in zip(outs, cnts)]
+                                     weights, window, chunk, pads)
+    return [_finalize(_unflip_mean(
+        o / jnp.maximum(c if c.ndim == o.ndim else c[None], 1e-6), tta),
+        output_mode) for o, c in zip(outs, cnts)]
 
 
 @partial(jax.jit, static_argnames=('predictor', 'window', 'chunk', 'tta',
@@ -214,7 +259,8 @@ def _sliding_window_full(predictor, ctx, vol: jnp.ndarray,
 def _sliding_window_full_sharded(predictor, ctx, vol: jnp.ndarray,
                                  starts: jnp.ndarray, weights: jnp.ndarray,
                                  window: Tuple[int, ...], chunk: int,
-                                 tta: bool, output_mode: str, mesh):
+                                 tta: bool, output_mode: str, mesh,
+                                 pads: Optional[jnp.ndarray] = None):
     """Multi-device variant of ``_sliding_window_full``: the patch-start
     grid is sharded across the mesh with ``shard_map`` (spatial parallelism,
     SURVEY.md section 5.7) — every device accumulates its windows into a
@@ -228,20 +274,24 @@ def _sliding_window_full_sharded(predictor, ctx, vol: jnp.ndarray,
     from jax.sharding import PartitionSpec as P
     axis = mesh.axis_names[0]
     variants = _make_variants(vol, tta)
+    if pads is None:
+        pads = jnp.zeros((variants.ndim - 2,), jnp.int32)
 
-    def local(ctx_l, volume_v, starts_l, weights_l):
+    def local(ctx_l, volume_v, starts_l, weights_l, pads_l):
         outs, cnts = _sliding_window_jit(predictor, ctx_l, volume_v,
-                                         starts_l, weights_l, window, chunk)
+                                         starts_l, weights_l, window, chunk,
+                                         pads_l)
         outs = [jax.lax.psum(o, axis) for o in outs]
         cnts = [jax.lax.psum(c, axis) for c in cnts]
         return outs, cnts
 
     fn = shard_map(local, mesh=mesh,
-                   in_specs=(P(), P(), P(axis), P(axis)),
+                   in_specs=(P(), P(), P(axis), P(axis), P()),
                    out_specs=(P(), P()))
-    outs, cnts = fn(ctx, variants, starts, weights)
-    return [_finalize(_unflip_mean(o / c[None], tta), output_mode)
-            for o, c in zip(outs, cnts)]
+    outs, cnts = fn(ctx, variants, starts, weights, pads)
+    return [_finalize(_unflip_mean(
+        o / jnp.maximum(c if c.ndim == o.ndim else c[None], 1e-6), tta),
+        output_mode) for o, c in zip(outs, cnts)]
 
 
 @partial(jax.jit, static_argnames=('predictor', 'tta'))
@@ -337,32 +387,58 @@ class Inferer:
                         for d in range(dim)))
                 outs = [o[sc] for o, sc in zip(outs, scale_crops)]
         else:
-            # optional shape bucketing (SURVEY.md section 7.4 hard part 3):
-            # reflect-pad spatial dims up to multiples of
-            # ``infer_shape_bucket`` so volumes of similar size share ONE
+            # shape bucketing (SURVEY.md section 7.4 hard part 3), ON by
+            # default: pad spatial dims so volumes of nearby shape share ONE
             # compiled program (one retrace per bucket instead of per
-            # volume shape). The window grid covers the padded extent, so
-            # predictions in the last window before a padded edge see
-            # reflected context — identical to the unbucketed path
-            # everywhere else, and exact when no padding was needed.
-            bucket = self.config.get('infer_shape_bucket', 0)
-            true_shape = img_shape
+            # volume shape). EXACT by construction: the window grid stays
+            # the TRUE-shape clamped grid (the reference rule,
+            # infer_func.py:75-85), so windows never read padded voxels
+            # (flip-TTA variants run a pad-shifted copy of the grid), and
+            # the padded margin — counter zero — is cropped off.
+            # An integer bucket (default 16) pads each dim to its next
+            # multiple — bounded accumulator bloat (< bucket voxels/dim),
+            # merging typical post-preprocessing shape jitter; 'auto' pads
+            # to window + k*stride (zero extra windows, perfect clamp
+            # dedup, but up to stride-1 voxels of accumulator padding);
+            # 0 disables.
+            bucket = self.config.get('infer_shape_bucket', 16)
+            true_shape = tuple(img_shape)
+            pads = None
             if bucket:
-                pads = [(-s) % bucket for s in img_shape]
+                if bucket in ('auto', True):
+                    padded = [window[d] + stride[d] * max(
+                        -(-(img_shape[d] - window[d]) // stride[d]), 0)
+                        for d in range(dim)]
+                else:
+                    b = int(bucket)
+                    padded = [max(-(-img_shape[d] // b) * b, window[d])
+                              for d in range(dim)]
+                # pads stays an array (zeros included) whenever bucketing is
+                # on, so exact-fit and padded volumes of one bucket share
+                # the same program signature
+                pads = tuple(padded[d] - img_shape[d] for d in range(dim))
                 if any(pads):
                     vol = jnp.pad(vol, [(0, p) for p in pads] + [(0, 0)],
-                                  mode='reflect')
+                                  mode='edge')   # values are never read
                     img_shape = vol.shape[:-1]
-            starts = window_grid(img_shape, window, stride)
-            chunk = min(self.patch_chunk, len(starts))
+            starts = window_grid(true_shape, window, stride)
+            n_true = len(starts)
+            chunk = min(self.patch_chunk, n_true)
             n_dev = self.mesh.size if self.mesh is not None else 1
-            pad = (-len(starts)) % (chunk * n_dev)
-            weights = np.ones(len(starts) + pad, np.float32)
-            if pad:   # duplicate starts round out the last chunk at weight 0
+            # the start COUNT is part of the compiled signature too: pad it
+            # to the padded-shape grid size (constant per bucket), then to
+            # a multiple of chunk * n_devices, with weight-0 duplicates
+            target = n_true if pads is None else len(
+                window_grid(img_shape, window, stride))
+            target = max(target, n_true)
+            target += (-target) % (chunk * n_dev)
+            pad_n = target - n_true
+            weights = np.ones(target, np.float32)
+            if pad_n:
+                reps = -(-pad_n // n_true)
                 starts = np.concatenate(
-                    [starts, np.tile(starts, (pad // len(starts) + 1, 1))
-                     [:pad]], 0)
-                weights[len(starts) - pad:] = 0.0
+                    [starts, np.tile(starts, (reps, 1))[:pad_n]], 0)
+                weights[n_true:] = 0.0
             if self.mesh is not None:
                 # place inputs on the mesh: variables/volume replicated,
                 # the start grid sharded (checkpoint-loaded variables may
@@ -371,19 +447,24 @@ class Inferer:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 repl = NamedSharding(self.mesh, P())
                 grid = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+                pads_arr = None if pads is None else jax.device_put(
+                    jnp.asarray(pads, jnp.int32), repl)
                 outs = _sliding_window_full_sharded(
                     predictor, jax.device_put(ctx, repl),
                     jax.device_put(vol, repl),
                     jax.device_put(jnp.asarray(starts), grid),
                     jax.device_put(jnp.asarray(weights), grid),
-                    tuple(window), chunk, tta, self.output_mode, self.mesh)
+                    tuple(window), chunk, tta, self.output_mode, self.mesh,
+                    pads_arr)
             else:
+                pads_arr = None if pads is None else jnp.asarray(
+                    pads, jnp.int32)
                 outs = _sliding_window_full(predictor, ctx, vol,
                                             jnp.asarray(starts),
                                             jnp.asarray(weights),
                                             tuple(window), chunk, tta,
-                                            self.output_mode)
-            if bucket and img_shape != true_shape:
+                                            self.output_mode, pads_arr)
+            if pads is not None and any(pads):
                 cropped = []
                 for o in outs:
                     ratios = [o.shape[d] / img_shape[d] for d in range(dim)]

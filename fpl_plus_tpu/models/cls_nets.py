@@ -1,24 +1,47 @@
 """Classification networks (Flax): ResNet18, VGG16, MobileNetV2.
 
 Functional parity with the reference wrappers
-(PyMIC/pymic/net/cls/torch_pretrained_net.py:24-168): same topologies, a
-``class_num`` head, and first-conv adaptation when ``input_chns != 3``.
-The reference downloads ImageNet-pretrained torchvision weights; this
-environment is zero-egress, so ``pretrain=True`` is accepted but logged as
-unavailable (random init). ``update_mode='last'`` freezing is implemented in
-the classification agent via an optax mask over head/first-conv params.
+(PyMIC/pymic/net/cls/torch_pretrained_net.py:24-168): exact torchvision
+topologies (stride-2 convs use torch's symmetric explicit padding, NOT
+XLA 'SAME' whose (0,1) split is misaligned with pretrained weights; VGG16
+keeps torchvision's adaptive 7x7 average pool), a fresh ``class_num`` head,
+and first-conv adaptation when ``input_chns != 3``. ``pretrain=True``
+transplants converted torchvision ``.pth`` weights via
+``utils/torch_convert.py`` (the zero-egress analog of the reference's
+download) — see ``[network] pretrained_path``. ``update_mode='last'``
+freezing is implemented in the classification agent via an optax mask over
+head/first-conv params.
 
 Input: ``[N, H, W, C]`` channels-last.
 """
 from __future__ import annotations
 
-import logging
 from typing import Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
 
 from fpl_plus_tpu.models.dsbn import BatchNorm
+
+
+def _adaptive_avg_pool2d(x, out_hw):
+    """torch AdaptiveAvgPool2d on [N, H, W, C] with static bin slicing
+    (bin i covers [floor(i*H/out), ceil((i+1)*H/out)))."""
+    h, w = x.shape[1], x.shape[2]
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return x
+
+    def bins(size, out):
+        return [(i * size // out, -(-((i + 1) * size) // out))
+                for i in range(out)]
+
+    rows = []
+    for h0, h1 in bins(h, oh):
+        cols = [jnp.mean(x[:, h0:h1, w0:w1], axis=(1, 2))
+                for w0, w1 in bins(w, ow)]
+        rows.append(jnp.stack(cols, axis=1))
+    return jnp.stack(rows, axis=1)
 
 
 class BasicBlock(nn.Module):
@@ -29,11 +52,12 @@ class BasicBlock(nn.Module):
     def __call__(self, x, train: bool):
         residual = x
         y = nn.Conv(self.features, (3, 3), strides=self.strides,
-                    padding='SAME', use_bias=False, name='conv1')(x)
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    name='conv1')(x)
         y = BatchNorm(self.features, name='bn1')(y, not train)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), padding='SAME', use_bias=False,
-                    name='conv2')(y)
+        y = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=False, name='conv2')(y)
         y = BatchNorm(self.features, name='bn2')(y, not train)
         if residual.shape != y.shape:
             residual = nn.Conv(self.features, (1, 1), strides=self.strides,
@@ -47,11 +71,6 @@ class ResNet18(nn.Module):
     class_num: int
     input_chns: int = 3
     pretrain: bool = False
-
-    def setup(self):
-        if self.pretrain:
-            logging.warning('pretrained weights unavailable offline; '
-                            'ResNet18 uses random init')
 
     @nn.compact
     def __call__(self, x, domain_label=None, train: bool = False,
@@ -74,6 +93,7 @@ class VGG16(nn.Module):
     class_num: int
     input_chns: int = 3
     pretrain: bool = False
+    fc_width: int = 4096   # torchvision classifier width
 
     @nn.compact
     def __call__(self, x, domain_label=None, train: bool = False,
@@ -90,10 +110,13 @@ class VGG16(nn.Module):
                 x = nn.relu(nn.Conv(v, (3, 3), padding='SAME',
                                     name='conv{0}'.format(i))(x))
                 i += 1
+        # torchvision vgg16 pools to 7x7 before the classifier, making the
+        # fc1 width (25088) input-size independent
+        x = _adaptive_avg_pool2d(x, (7, 7))
         x = x.reshape((x.shape[0], -1))
-        x = nn.relu(nn.Dense(4096, name='fc1')(x))
+        x = nn.relu(nn.Dense(self.fc_width, name='fc1')(x))
         x = nn.Dropout(0.5, deterministic=not use_dropout)(x)
-        x = nn.relu(nn.Dense(4096, name='fc2')(x))
+        x = nn.relu(nn.Dense(self.fc_width, name='fc2')(x))
         x = nn.Dropout(0.5, deterministic=not use_dropout)(x)
         return nn.Dense(self.class_num, name='head')(x)
 
@@ -112,8 +135,9 @@ class InvertedResidual(nn.Module):
             y = nn.Conv(hidden, (1, 1), use_bias=False, name='expand')(y)
             y = BatchNorm(hidden, name='bn0')(y, not train)
             y = nn.relu6(y)
-        y = nn.Conv(hidden, (3, 3), strides=self.strides, padding='SAME',
-                    feature_group_count=hidden, use_bias=False, name='dw')(y)
+        y = nn.Conv(hidden, (3, 3), strides=self.strides,
+                    padding=((1, 1), (1, 1)), feature_group_count=hidden,
+                    use_bias=False, name='dw')(y)
         y = BatchNorm(hidden, name='bn1')(y, not train)
         y = nn.relu6(y)
         y = nn.Conv(self.features, (1, 1), use_bias=False, name='project')(y)
@@ -133,8 +157,8 @@ class MobileNetV2(nn.Module):
                  use_dropout=None):
         if use_dropout is None:
             use_dropout = train
-        x = nn.Conv(32, (3, 3), strides=2, padding='SAME', use_bias=False,
-                    name='stem')(x)
+        x = nn.Conv(32, (3, 3), strides=2, padding=((1, 1), (1, 1)),
+                    use_bias=False, name='stem')(x)
         x = nn.relu6(BatchNorm(32, name='bn_stem')(x, not train))
         settings = [(1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2),
                     (6, 64, 4, 2), (6, 96, 3, 1), (6, 160, 3, 2),

@@ -124,7 +124,7 @@ def sharded_sliding_window(predictor: Callable, window: Tuple[int, ...],
     and counter.
 
     Returns fn(ctx, volume_v, starts, weights=None)
-    -> (output [V,*img,K], counter [*img,1]).
+    -> (output [V,*img,K], counter [V,*img,1]).
     """
     from fpl_plus_tpu.engine.infer import _sliding_window_jit
     try:

@@ -123,13 +123,182 @@ def convert_unet2d5_dsbn(state_dict: Dict[str, np.ndarray],
     return params, stats
 
 
+# ---------------------------------------------------------------------------
+# torchvision classification nets (reference net/cls/torch_pretrained_net.py
+# :24-168 downloads ImageNet weights; zero-egress here, so a user-supplied
+# torchvision ``.pth`` state_dict converts instead). Matching the reference,
+# the classifier head is NOT transplanted (it is replaced with a fresh
+# ``class_num`` layer) and neither is the first conv when input_chns != 3.
+# ---------------------------------------------------------------------------
+
+def _bn_flat(sd, prefix: str):
+    """torchvision BatchNorm [C] -> our single-bank DSBN rows [1, C]."""
+    p = {'scale': sd[prefix + '.weight'][None].astype(np.float32),
+         'bias': sd[prefix + '.bias'][None].astype(np.float32)}
+    s = {'mean': sd[prefix + '.running_mean'][None].astype(np.float32),
+         'var': sd[prefix + '.running_var'][None].astype(np.float32)}
+    return p, s
+
+
+def _dense(w: np.ndarray, b: np.ndarray):
+    return {'kernel': np.transpose(w).astype(np.float32),
+            'bias': b.astype(np.float32)}
+
+
+def convert_torchvision_resnet18(sd: Dict[str, np.ndarray],
+                                 keep_first_conv: bool = True
+                                 ) -> Tuple[Dict, Dict]:
+    """torchvision resnet18 state_dict -> (params, batch_stats) for
+    :class:`fpl_plus_tpu.models.cls_nets.ResNet18` (fc head excluded)."""
+    params, stats = {}, {}
+    if keep_first_conv:
+        params['conv1'] = {'kernel': _conv_kernel(
+            sd['conv1.weight']).astype(np.float32)}
+    p, s = _bn_flat(sd, 'bn1')
+    params['bn1'], stats['bn1'] = p, s
+    for layer in range(1, 5):
+        for b in range(2):
+            name = 'layer{0}_{1}'.format(layer, b)
+            pref = 'layer{0}.{1}'.format(layer, b)
+            bp, bs = {}, {}
+            for j in (1, 2):
+                bp['conv{0}'.format(j)] = {'kernel': _conv_kernel(
+                    sd['{0}.conv{1}.weight'.format(pref, j)]).astype(
+                        np.float32)}
+                p, s = _bn_flat(sd, '{0}.bn{1}'.format(pref, j))
+                bp['bn{0}'.format(j)], bs['bn{0}'.format(j)] = p, s
+            if '{0}.downsample.0.weight'.format(pref) in sd:
+                bp['downsample'] = {'kernel': _conv_kernel(
+                    sd['{0}.downsample.0.weight'.format(pref)]).astype(
+                        np.float32)}
+                p, s = _bn_flat(sd, '{0}.downsample.1'.format(pref))
+                bp['bn_down'], bs['bn_down'] = p, s
+            params[name], stats[name] = bp, bs
+    return params, stats
+
+
+def convert_torchvision_vgg16(sd: Dict[str, np.ndarray],
+                              keep_first_conv: bool = True
+                              ) -> Tuple[Dict, Dict]:
+    """torchvision vgg16 (no-BN variant) state_dict -> (params, {}) for
+    :class:`fpl_plus_tpu.models.cls_nets.VGG16`. fc1/fc2 transplant; the
+    'head' classifier layer is excluded (fresh class_num head)."""
+    conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    params = {}
+    for i, idx in enumerate(conv_idx):
+        if i == 0 and not keep_first_conv:
+            continue
+        params['conv{0}'.format(i)] = {
+            'kernel': _conv_kernel(
+                sd['features.{0}.weight'.format(idx)]).astype(np.float32),
+            'bias': sd['features.{0}.bias'.format(idx)].astype(np.float32)}
+    # classifier.0 flattens [C=512, 7, 7] in torch's NCHW order; our
+    # channels-last flatten is (h, w, c) -> permute the input dim blocks
+    w = sd['classifier.0.weight'].reshape(-1, 512, 7, 7)
+    w = np.transpose(w, (0, 2, 3, 1)).reshape(w.shape[0], -1)
+    params['fc1'] = _dense(w, sd['classifier.0.bias'])
+    params['fc2'] = _dense(sd['classifier.3.weight'], sd['classifier.3.bias'])
+    return params, {}
+
+
+def convert_torchvision_mobilenetv2(sd: Dict[str, np.ndarray],
+                                    keep_first_conv: bool = True
+                                    ) -> Tuple[Dict, Dict]:
+    """torchvision mobilenet_v2 state_dict -> (params, batch_stats) for
+    :class:`fpl_plus_tpu.models.cls_nets.MobileNetV2` (classifier head
+    excluded). Depthwise kernels [C,1,k,k] convert with the standard
+    transpose (flax feature_group_count=C expects [k,k,1,C])."""
+    params, stats = {}, {}
+    if keep_first_conv:
+        params['stem'] = {'kernel': _conv_kernel(
+            sd['features.0.0.weight']).astype(np.float32)}
+    p, s = _bn_flat(sd, 'features.0.1')
+    params['bn_stem'], stats['bn_stem'] = p, s
+    for i in range(1, 18):
+        name = 'block{0}'.format(i - 1)
+        pref = 'features.{0}.conv'.format(i)
+        bp, bs = {}, {}
+        if pref + '.1.0.weight' in sd:     # expand != 1 blocks
+            bp['expand'] = {'kernel': _conv_kernel(
+                sd[pref + '.0.0.weight']).astype(np.float32)}
+            p, s = _bn_flat(sd, pref + '.0.1')
+            bp['bn0'], bs['bn0'] = p, s
+            bp['dw'] = {'kernel': _conv_kernel(
+                sd[pref + '.1.0.weight']).astype(np.float32)}
+            p, s = _bn_flat(sd, pref + '.1.1')
+            bp['bn1'], bs['bn1'] = p, s
+            bp['project'] = {'kernel': _conv_kernel(
+                sd[pref + '.2.weight']).astype(np.float32)}
+            p, s = _bn_flat(sd, pref + '.3')
+            bp['bn2'], bs['bn2'] = p, s
+        else:                              # the t=1 first block
+            bp['dw'] = {'kernel': _conv_kernel(
+                sd[pref + '.0.0.weight']).astype(np.float32)}
+            p, s = _bn_flat(sd, pref + '.0.1')
+            bp['bn1'], bs['bn1'] = p, s
+            bp['project'] = {'kernel': _conv_kernel(
+                sd[pref + '.1.weight']).astype(np.float32)}
+            p, s = _bn_flat(sd, pref + '.2')
+            bp['bn2'], bs['bn2'] = p, s
+        params[name], stats[name] = bp, bs
+    params['head_conv'] = {'kernel': _conv_kernel(
+        sd['features.18.0.weight']).astype(np.float32)}
+    p, s = _bn_flat(sd, 'features.18.1')
+    params['bn_head'], stats['bn_head'] = p, s
+    return params, stats
+
+
+CLS_CONVERTERS = {
+    'resnet18': convert_torchvision_resnet18,
+    'vgg16': convert_torchvision_vgg16,
+    'mobilenetv2': convert_torchvision_mobilenetv2,
+}
+
+
+def load_torchvision_pretrained(net_type: str, pth_path: str,
+                                net_cfg: Dict) -> Tuple[Dict, Dict]:
+    """Load a torchvision-format ``.pth`` and convert the backbone
+    (params, batch_stats) for the matching cls net. The head and — when
+    ``input_chns != 3`` — the first conv are left out, mirroring the
+    reference's layer replacement (torch_pretrained_net.py:66-74)."""
+    import torch
+    raw = torch.load(pth_path, map_location='cpu', weights_only=False)
+    if isinstance(raw, dict) and 'state_dict' in raw:
+        raw = raw['state_dict']
+    sd = {k: np.asarray(v) for k, v in raw.items()}
+    keep_first = net_cfg.get('input_chns', 3) == 3
+    return CLS_CONVERTERS[net_type.lower()](sd, keep_first_conv=keep_first)
+
+
+def transplant_params(dst: Dict, src: Dict, path: str = '') -> int:
+    """Overwrite matching leaves of ``dst`` (a mutable variables subtree)
+    with ``src``; raises on unknown keys or shape mismatches. Returns the
+    number of leaves transplanted."""
+    import jax.numpy as jnp
+    n = 0
+    for k, v in src.items():
+        if k not in dst:
+            raise KeyError('transplant target missing {0}{1}'.format(path, k))
+        if isinstance(v, dict):
+            n += transplant_params(dst[k], v, '{0}{1}/'.format(path, k))
+        else:
+            if tuple(dst[k].shape) != tuple(np.shape(v)):
+                raise ValueError('shape mismatch at {0}{1}: {2} vs {3}'
+                                 .format(path, k, dst[k].shape, np.shape(v)))
+            dst[k] = jnp.asarray(v, dst[k].dtype)
+            n += 1
+    return n
+
+
 def convert_reference_checkpoint(pt_path: str, net_cfg: Dict,
                                  out_path: str) -> None:
     """Load a reference ``.pt`` checkpoint (torch, host-side) and save it as
     an fpl_plus_tpu msgpack checkpoint with the pointer-file contract."""
     import torch
     from fpl_plus_tpu.engine import ckpt as ckpt_lib
-    raw = torch.load(pt_path, map_location='cpu')
+    # reference .pt checkpoints carry numpy scalars (valid_pred), which
+    # torch>=2.6's weights_only=True default rejects
+    raw = torch.load(pt_path, map_location='cpu', weights_only=False)
     sd = {k: v.numpy() for k, v in raw['model_state_dict'].items()}
     params, batch_stats = convert_unet2d5_dsbn(sd, net_cfg)
     import os

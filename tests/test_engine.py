@@ -265,24 +265,57 @@ def test_sliding_window_multiscale_outputs(rng):
                                atol=1e-4)
 
 
+class ContextPredictor:
+    """Window-context-sensitive 'network' (adds the window mean to a linear
+    map) with a trace counter: its __call__ only runs while jit traces, so
+    the counter counts program compilations."""
+
+    def __init__(self, w):
+        self.w = tuple(map(tuple, w))
+        self.traces = [0]
+
+    def __call__(self, ctx, x):
+        self.traces[0] += 1
+        base = jnp.einsum('...c,ck->...k', x, jnp.asarray(self.w))
+        return base + jnp.mean(x, axis=tuple(range(1, x.ndim)),
+                               keepdims=True)
+
+
 def test_shape_bucketing(rng):
-    """infer_shape_bucket shares one compiled program across nearby depths;
-    predictions match the unbucketed path away from padded edges (and
-    everywhere for the per-voxel linear net used here, since its output is
-    context-free)."""
+    """Shape bucketing (default ON) is EXACT: the window grid stays the
+    true-shape clamped grid, so no window — in any flip-TTA variant — ever
+    reads a padded voxel. A context-sensitive net must therefore match the
+    unbucketed output voxel for voxel. With an int bucket, three nearby
+    depths must share ONE compiled program (one trace) where the unbucketed
+    path compiles three."""
     w_mat = rng.normal(size=(1, 2)).astype(np.float32)
-    predictor = LinearPredictor(w_mat)
     base = {'sliding_window_enable': True, 'sliding_window_size': [4, 8, 8],
             'sliding_window_stride': [3, 6, 5], 'tta_mode': 1}
+    pred_plain = ContextPredictor(w_mat)
+    pred_default = ContextPredictor(w_mat)
+    pred_auto = ContextPredictor(w_mat)
+    pred_int = ContextPredictor(w_mat)
+    inf_plain = Inferer(dict(base, infer_shape_bucket=0), patch_chunk=3)
+    inf_default = Inferer(dict(base), patch_chunk=3)       # default (16)
+    inf_auto = Inferer(dict(base, infer_shape_bucket='auto'), patch_chunk=3)
+    inf_int = Inferer(dict(base, infer_shape_bucket=8), patch_chunk=3)
     for depth in (10, 11, 13):
         img = rng.normal(size=(1, 1, depth, 20, 17)).astype(np.float32)
-        plain = Inferer(dict(base), patch_chunk=3).run(predictor, None, img)
-        bucketed = Inferer(dict(base, infer_shape_bucket=8),
-                           patch_chunk=3).run(predictor, None, img)
-        assert bucketed.shape == plain.shape
-        assert np.isfinite(bucketed).all()
-        # a per-voxel net is unaffected by window context: exact match
-        np.testing.assert_allclose(bucketed, plain, atol=1e-4)
+        plain = inf_plain.run(pred_plain, None, img)
+        assert np.isfinite(plain).all()
+        for inf, pred in ((inf_default, pred_default),
+                          (inf_auto, pred_auto), (inf_int, pred_int)):
+            out = inf.run(pred, None, img)
+            assert out.shape == plain.shape
+            np.testing.assert_allclose(out, plain, atol=1e-5)
+    # unbucketed: one compile per distinct shape (3 bodies + 1 probe);
+    # bucket 8/16: all three depths share one padded shape and a constant
+    # start count -> ONE compile (<= 2 traces: eval_shape probe + body);
+    # 'auto' dedupes the clamp-induced variation at zero extra windows
+    # (depths 11 and 13 both pad to 13 -> 2 compiles)
+    assert pred_int.traces[0] <= 2
+    assert pred_default.traces[0] <= 2
+    assert pred_int.traces[0] < pred_auto.traces[0] < pred_plain.traces[0]
 
 
 def test_run_async_matches_run(rng):

@@ -1,0 +1,449 @@
+"""Dice/ASSD parity protocol vs the reference implementation (BASELINE.md).
+
+Trains the REFERENCE code (PyTorch CPU, `/root/reference/PyMIC`) on a
+scaled-down VS dual-domain recipe over the in-repo fixture dataset, lets its
+own pipeline produce `test_tumor_{dice,assd}_all.csv` via eva_main, converts
+the trained checkpoint with this repo's converter, runs THIS framework's
+test stage + evaluation from the converted weights on the identical config,
+and prints the two tables side by side. Acceptance: |dice_ours - dice_ref|
+<= 0.5 points per case (BASELINE.json north star).
+
+The environment lacks the reference's native deps; each is shimmed with a
+thin adapter onto this repo's own equivalents, so the run also exercises
+our NIfTI codec and raster-scan distance against the reference's exact call
+contracts:
+
+* SimpleITK  -> fpl_plus_tpu.io.nifti  (ReadImage/WriteImage/arrays)
+* GeodisTK   -> fpl_plus_tpu.native.raster_scan_distance
+* torchvision, pymic.net.net2d.* -> import stubs (never called on this path)
+
+Usage: python tools/dice_parity.py [workdir] [--skip-reference]
+"""
+import os
+import sys
+import types
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = '/root/reference'
+sys.path.insert(0, REPO)
+
+
+# ---------------------------------------------------------------- shims
+def install_shims():
+    from fpl_plus_tpu import native
+    from fpl_plus_tpu.io import nifti as fnifti
+
+    class _SitkImage:
+        def __init__(self, data):
+            self.data = np.asarray(data)
+            self.origin = (0.0, 0.0, 0.0)
+            self.spacing = (1.0, 1.0, 1.0)
+            self.direction = (1, 0, 0, 0, 1, 0, 0, 0, 1)
+
+        def GetOrigin(self):
+            return tuple(self.origin)
+
+        def GetSpacing(self):
+            return tuple(self.spacing)
+
+        def GetDirection(self):
+            return tuple(self.direction)
+
+        def SetOrigin(self, o):
+            self.origin = tuple(o)
+
+        def SetSpacing(self, s):
+            self.spacing = tuple(s)
+
+        def SetDirection(self, d):
+            self.direction = tuple(d)
+
+        def CopyInformation(self, other):
+            self.origin = other.origin
+            self.spacing = other.spacing
+            self.direction = other.direction
+
+    sitk = types.ModuleType('SimpleITK')
+    sitk.Image = _SitkImage
+
+    def ReadImage(fn):
+        img = fnifti.read_image(fn)
+        out = _SitkImage(img.data)
+        g = img.geometry
+        out.origin, out.spacing = tuple(g.origin), tuple(g.spacing)
+        out.direction = tuple(g.direction)
+        return out
+
+    def WriteImage(img, fn):
+        geom = fnifti.ImageGeometry(
+            origin=tuple(img.origin)[:3], spacing=tuple(img.spacing)[:3],
+            direction=tuple(img.direction))
+        fnifti.write_image(fnifti.NiftiImage(np.asarray(img.data), geom), fn)
+
+    sitk.ReadImage = ReadImage
+    sitk.WriteImage = WriteImage
+    sitk.GetArrayFromImage = lambda img: np.asarray(img.data)
+    sitk.GetImageFromArray = lambda d: _SitkImage(np.asarray(d))
+    sys.modules['SimpleITK'] = sitk
+
+    geo = types.ModuleType('GeodisTK')
+    geo.geodesic3d_raster_scan = lambda img, seeds, spacing, lamb, it: \
+        native.raster_scan_distance(seeds, spacing=spacing, image=img,
+                                    lamb=lamb, iterations=it)
+    geo.geodesic2d_raster_scan = lambda img, seeds, lamb, it: \
+        native.raster_scan_distance(seeds, image=img, lamb=lamb,
+                                    iterations=it)
+    sys.modules['GeodisTK'] = geo
+
+    tv = types.ModuleType('torchvision')
+    tvm = types.ModuleType('torchvision.models')
+    tvt = types.ModuleType('torchvision.transforms')
+    for name in ('resnet18', 'vgg16', 'mobilenet_v2'):
+        setattr(tvm, name, None)
+    class _Compose:   # the one torchvision symbol pymic actually calls
+        def __init__(self, transforms):
+            self.transforms = transforms
+
+        def __call__(self, sample):
+            for t in self.transforms:
+                sample = t(sample)
+            return sample
+
+    tvt.Compose = _Compose
+    for name in ('ToTensor', 'Normalize'):
+        setattr(tvt, name, type(name, (), {}))
+    tvu = types.ModuleType('torchvision.utils')
+    tv.models = tvm
+    tv.transforms = tvt
+    tv.utils = tvu
+    sys.modules['torchvision'] = tv
+    sys.modules['torchvision.models'] = tvm
+    sys.modules['torchvision.transforms'] = tvt
+    sys.modules['torchvision.utils'] = tvu
+
+    # util/make_noise.py imports cv2 + skimage at module scope but is never
+    # called on the train/test path (SURVEY.md 2.11: imported, unused)
+    for name in ('cv2', 'skimage'):
+        if name not in sys.modules:
+            try:
+                __import__(name)
+            except ImportError:
+                sys.modules[name] = types.ModuleType(name)
+    sk = sys.modules['skimage']
+    for sub in ('measure', 'draw'):
+        if not hasattr(sk, sub):
+            mod = types.ModuleType('skimage.' + sub)
+            setattr(sk, sub, mod)
+            sys.modules['skimage.' + sub] = mod
+
+    # the snapshot's pymic.net.net2d package is missing entirely
+    # (SURVEY.md section 0); stub the 8 imports of net_dict_seg
+    stubs = {
+        'pymic.net.net2d.unet2d': ['UNet2D'],
+        'pymic.net.net2d.unet2d_dual_branch': ['UNet2D_DualBranch'],
+        'pymic.net.net2d.unet2d_urpc': ['UNet2D_URPC'],
+        'pymic.net.net2d.unet2d_cct': ['UNet2D_CCT'],
+        'pymic.net.net2d.cople_net': ['COPLENet'],
+        'pymic.net.net2d.unet2d_attention': ['AttentionUNet2D'],
+        'pymic.net.net2d.unet2d_nest': ['NestedUNet2D'],
+        'pymic.net.net2d.unet2d_scse': ['UNet2D_ScSE'],
+    }
+    pkg = types.ModuleType('pymic.net.net2d')
+    pkg.__path__ = []
+    sys.modules['pymic.net.net2d'] = pkg
+    for mod_name, classes in stubs.items():
+        mod = types.ModuleType(mod_name)
+        for cls in classes:
+            setattr(mod, cls, type(cls, (), {}))
+        sys.modules[mod_name] = mod
+
+    pymic_pkg = types.ModuleType('PyMIC')
+    pymic_pkg.__path__ = [os.path.join(REF, 'PyMIC')]
+    sys.modules['PyMIC'] = pymic_pkg
+    sys.path.insert(0, os.path.join(REF, 'PyMIC'))
+
+
+# ---------------------------------------------------------------- configs
+CFG = """
+[dataset]
+tensor_type = float
+dsbn = True
+task_type = seg
+root_dir = {ref}
+1_train_csv = {work}/d0_train.csv
+1_valid_csv = {work}/d0_valid.csv
+2_train_csv = {work}/d1_train.csv
+2_valid_csv = {work}/d1_valid.csv
+test_csv = {work}/test_hrT2.csv
+train_batch_size = 2
+load_pixelwise_weight = False
+modal_num = 1
+train_transform = [NormalizeWithMeanStd, Pad, RandomCrop, RandomFlip, LabelToProbability]
+valid_transform = [NormalizeWithMeanStd, Pad, LabelToProbability]
+test_transform = [NormalizeWithMeanStd, Pad]
+NormalizeWithMeanStd_channels = [0]
+NormalizeWithMeanStd_mean = None
+NormalizeWithMeanStd_std = None
+NormalizeWithMeanStd_mask = False
+NormalizeWithMeanStd_random_fill = False
+NormalizeWithMeanStd_inverse = False
+Pad_output_size = [16, 64, 64]
+Pad_ceil_mode = False
+Pad_inverse = True
+RandomCrop_output_size = [16, 64, 64]
+RandomCrop_foreground_focus = True
+RandomCrop_foreground_ratio = 0.5
+Randomcrop_mask_label = [1, 2]
+RandomCrop_inverse = False
+RandomFlip_flip_depth = False
+RandomFlip_flip_height = True
+RandomFlip_flip_width = True
+RandomFlip_inverse = False
+LabelToProbability_class_num = 2
+LabelToProbability_inverse = False
+
+[network]
+net_type = UNet2D5_dsbn
+num_domains = 2
+class_num = 2
+in_chns = 1
+feature_chns = [8, 16, 32, 32, 32]
+conv_dims = [2, 2, 3, 3, 3]
+dropout = [0.0, 0.0, 0.0, 0.0, 0.0]
+bilinear = False
+deep_supervise = False
+aes = False
+
+[training]
+aes = False
+aes_para = None
+train_fpl_uda = False
+dis = False
+dis_para = None
+val_t1 = False
+val_t2 = True
+dual = True
+gpus = [0]
+loss_type = DiceLoss
+DiceLoss_enable_pixel_weight = False
+DiceLoss_enable_class_weight = False
+loss_class_weight = [1, 1]
+optimizer = Adam
+learning_rate = 1e-3
+momentum = 0.9
+weight_decay = 1e-5
+lr_scheduler = MultiStepLR
+lr_gamma = 0.5
+lr_milestones = [10000]
+ckpt_save_dir = {work}/{side}/model/parity
+ckpt_save_prefix = dsbn
+deterministic = True
+random_seed = 1
+iter_start = 0
+iter_max = {iter_max}
+iter_valid = {iter_valid}
+iter_save = {iter_max}
+
+[testing]
+fpl = False
+gpus = [0]
+domian_label = 1
+ae = None
+ckpt_mode = 1
+output_dir = {work}/{side}/results
+evaluation_mode = True
+test_time_dropout = False
+tta_mode = 1
+sliding_window_enable = True
+sliding_window_size = [16, 64, 64]
+sliding_window_stride = [16, 64, 64]
+
+[evaluation]
+metric_1 = dice
+metric_2 = assd
+label_list = [1]
+organ_name = tumor
+ground_truth_folder_root = {ref}
+test_evaluation_image_pair = {work}/pairs.csv
+valid_evaluation_image_pair = {work}/pairs.csv
+"""
+
+
+def write_workspace(work: str) -> None:
+    os.makedirs(work, exist_ok=True)
+    man = {
+        'd0_train.csv': [
+            'image,label',
+            'dataset/ceT1_train/img/vs_gk_99_t1.nii.gz,'
+            'dataset/ceT1_train/lab/vs_gk_99_t1.nii.gz'],
+        'd0_valid.csv': [
+            'image,label',
+            'dataset/ceT1_train/img/vs_gk_99_t1.nii.gz,'
+            'dataset/ceT1_train/lab/vs_gk_99_t1.nii.gz'],
+        'd1_train.csv': [
+            'image,label',
+            'dataset/hrT2_train/img/vs_gk_98_t2.nii.gz,'
+            'dataset/hrT2_train/lab/vs_gk_98_t2.nii.gz'],
+        'd1_valid.csv': [
+            'image,label',
+            'dataset/hrT2_valid/vs_gk_95_t2.nii.gz,'
+            'dataset/hrT2_valid/vs_gk_95_t2_seg.nii.gz'],
+        'test_hrT2.csv': [
+            'image,label',
+            'dataset/hrT2_test/vs_gk_9_t2.nii.gz,'
+            'dataset/hrT2_test/vs_gk_9_t2_seg.nii.gz'],
+        'pairs.csv': [
+            'gt,seg',
+            'dataset/hrT2_test/vs_gk_9_t2_seg.nii.gz,vs_gk_9_t2.nii.gz'],
+    }
+    for name, lines in man.items():
+        with open(os.path.join(work, name), 'w') as f:
+            f.write('\n'.join(lines) + '\n')
+
+
+def write_cfg(work: str, side: str, iter_max: int = 300,
+              iter_valid: int = 100) -> str:
+    cfg = CFG.format(ref=REF, work=work, side=side, iter_max=iter_max,
+                     iter_valid=iter_valid)
+    path = os.path.join(work, side + '.cfg')
+    with open(path, 'w') as f:
+        f.write(cfg)
+    return path
+
+
+def read_scores(csv_path: str) -> dict:
+    rows = {}
+    with open(csv_path) as f:
+        next(f)
+        for line in f:
+            parts = line.strip().split(',')
+            if parts[0]:
+                rows[parts[0]] = float(parts[1])
+    return rows
+
+
+def run_reference(work: str) -> None:
+    """Drive the reference net_run_dsbn main() (train -> test -> eva_main)."""
+    install_shims()
+    import torch
+    torch.set_num_threads(os.cpu_count() or 8)
+    # the reference hardcodes torch.device("cuda:0") (agent_seg.py:694) and
+    # only ever USES devices through .to(...) / torch.load(map_location=...)
+    # — remap cuda->cpu at those three choke points (replacing torch.device
+    # itself poisons torch-internal isinstance checks)
+    def _cpu(arg):
+        if isinstance(arg, torch.device) and arg.type == 'cuda':
+            return torch.device('cpu')
+        if isinstance(arg, str) and arg.startswith('cuda'):
+            return 'cpu'
+        return arg
+
+    _tensor_to = torch.Tensor.to
+    _module_to = torch.nn.Module.to
+    _load = torch.load
+
+    def tensor_to(self, *args, **kw):
+        args = tuple(_cpu(a) for a in args)
+        kw = {k: _cpu(v) for k, v in kw.items()}
+        return _tensor_to(self, *args, **kw)
+
+    def module_to(self, *args, **kw):
+        args = tuple(_cpu(a) for a in args)
+        kw = {k: _cpu(v) for k, v in kw.items()}
+        return _module_to(self, *args, **kw)
+
+    def load(*args, **kw):
+        if 'map_location' in kw:
+            kw['map_location'] = _cpu(kw['map_location'])
+        # the checkpoint was produced by this very run (torch>=2.6 defaults
+        # weights_only=True, which rejects the numpy scalar it contains)
+        kw.setdefault('weights_only', False)
+        return _load(*args, **kw)
+
+    torch.Tensor.to = tensor_to
+    torch.nn.Module.to = module_to
+    torch.load = load
+    cfg_path = write_cfg(work, 'ref')
+    import pymic.net_run_dsbn.net_run as ref_net_run
+    argv = sys.argv
+    sys.argv = ['net_run.py', 'train', cfg_path]
+    cwd = os.getcwd()
+    try:
+        ref_net_run.main()
+    finally:
+        sys.argv = argv
+        os.chdir(cwd)
+
+
+def run_ours(work: str) -> None:
+    """Convert the reference checkpoint and run our test + eval."""
+    os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+    cfg_path = write_cfg(work, 'ours')
+    from fpl_plus_tpu.config.parser import parse_config, synchronize_config
+    config = synchronize_config(parse_config(cfg_path))
+
+    ref_ckpt_dir = os.path.join(work, 'ref', 'model', 'parity')
+    with open(os.path.join(ref_ckpt_dir, 'parity_best.txt')) as f:
+        best_it = int(f.read().strip())
+    pt_path = os.path.join(ref_ckpt_dir, 'parity_{0}.pt'.format(best_it))
+
+    from fpl_plus_tpu.engine import ckpt as ckpt_lib
+    from fpl_plus_tpu.utils.torch_convert import convert_reference_checkpoint
+    our_ckpt_dir = config['training']['ckpt_save_dir']
+    os.makedirs(our_ckpt_dir, exist_ok=True)
+    convert_reference_checkpoint(
+        pt_path, config['network'],
+        os.path.join(our_ckpt_dir, 'parity_{0}.ckpt'.format(best_it)))
+    ckpt_lib.write_best_pointer(our_ckpt_dir, 'parity', best_it)
+
+    from fpl_plus_tpu.cli import main
+    rc = main(['test', cfg_path])
+    assert rc == 0
+    from fpl_plus_tpu.metrics.evaluate import eva_main
+    eva_main(config)
+
+
+def compare(work: str) -> int:
+    seg_sub = 'parity_test_hrT2'
+    print('\n================ Dice/ASSD parity ================')
+    worst = 0.0
+    for metric in ('dice', 'assd'):
+        ref_csv = os.path.join(work, 'ref', 'results', seg_sub,
+                               'test_tumor_{0}_all.csv'.format(metric))
+        our_csv = os.path.join(work, 'ours', 'results', seg_sub,
+                               'test_tumor_{0}_all.csv'.format(metric))
+        ref_scores = read_scores(ref_csv)
+        our_scores = read_scores(our_csv)
+        print('metric:', metric)
+        print('{0:<28}{1:>12}{2:>12}{3:>12}'.format(
+            'case', 'reference', 'ours', '|delta|'))
+        for name in ref_scores:
+            if name in ('mean', 'std'):
+                continue
+            d = abs(ref_scores[name] - our_scores[name])
+            print('{0:<28}{1:>12.6f}{2:>12.6f}{3:>12.6f}'.format(
+                name, ref_scores[name], our_scores[name], d))
+            if metric == 'dice':
+                worst = max(worst, d)
+        print('{0:<28}{1:>12.6f}{2:>12.6f}'.format(
+            'mean', ref_scores['mean'], our_scores['mean']))
+    ok = worst <= 0.005
+    print('\nmax |delta dice| = {0:.6f} -> {1} (criterion: <= 0.005 '
+          '= 0.5 pt)'.format(worst, 'PASS' if ok else 'FAIL'))
+    return 0 if ok else 1
+
+
+def main():
+    work = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith(
+        '--') else '/tmp/fplx_dice_parity'
+    write_workspace(work)
+    if '--skip-reference' not in sys.argv:
+        run_reference(work)
+    run_ours(work)
+    sys.exit(compare(work))
+
+
+if __name__ == '__main__':
+    main()
