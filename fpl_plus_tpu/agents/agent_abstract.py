@@ -130,10 +130,17 @@ class NetRunAgent(ABC):
         if csv_file is None:
             # standard (non-dual) configs use train_csv/valid_csv/test_csv
             csv_file = data_cfg.get(real_stage + '_csv', None)
+        # decoded-volume LRU cache ([dataset] cache_gb, 0 disables): train
+        # and valid revisit the same manifest rows every epoch — decode each
+        # NIfTI once instead of per item. The one-pass test stage gains
+        # nothing, so it skips the cache.
+        cache_gb = data_cfg.get('cache_gb', 2.0)
+        cache_bytes = (int(cache_gb * (1 << 30))
+                       if real_stage != 'test' else 0)
         return NiftyDataset(root_dir=root_dir, csv_file=csv_file,
                             modal_num=modal_num,
                             with_label=(real_stage != 'test'),
-                            transform=transform)
+                            transform=transform, cache_bytes=cache_bytes)
 
     def create_dataset(self):
         data_cfg = self.config['dataset']

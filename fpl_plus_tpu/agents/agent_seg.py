@@ -86,6 +86,14 @@ class SegmentationAgent(NetRunAgent):
         # [training] entropy_reg.
         self.use_entropy = train_cfg.get('entropy_reg', not self.dual)
         self.output_dir = None
+        # mixed precision (utils/precision.py): [training]/[testing]
+        # precision = bfloat16 runs compute in bf16 with f32 master
+        # params / DSBN stats / loss; default f32 (reference parity)
+        from fpl_plus_tpu.utils.precision import resolve_dtype
+        self.train_dtype = resolve_dtype(train_cfg.get('precision',
+                                                       'float32'))
+        self.infer_precision = config.get('testing', {}).get(
+            'precision', 'float32')
 
     def task_type(self) -> str:
         return 'segmentation'
@@ -101,6 +109,13 @@ class SegmentationAgent(NetRunAgent):
             self.variables = {'params': params, 'batch_stats': batch_stats}
         logging.info('parameter number %d',
                      param_count(self.variables['params']))
+
+    def _train_apply_fn(self):
+        """module.apply under the [training] precision policy (identity at
+        f32) — paradigm agents route their custom jitted steps through
+        this so mixed precision covers ssl/wsl/nll too."""
+        from fpl_plus_tpu.utils.precision import cast_apply_fn
+        return cast_apply_fn(self.module.apply, self.train_dtype)
 
     # -- device-side closures (stable identities: bound methods) -----------
     def _patch_forward(self, ctx, x):
@@ -166,14 +181,15 @@ class SegmentationAgent(NetRunAgent):
             from fpl_plus_tpu.engine.train import make_dual_consistency_step
             base = make_dual_consistency_step(
                 self.module.apply, loss_calc, optimizer,
-                fpl_uda=self.fpl_uda, entropy_coeff=1.0)
+                fpl_uda=self.fpl_uda, entropy_coeff=1.0,
+                compute_dtype=self.train_dtype)
         else:
             base = make_train_step(
                 self.module.apply, loss_calc, optimizer,
                 num_domains=self.num_domains, joint=self.dual,
                 fpl_uda=self.fpl_uda,
                 entropy_coeff=1.0 if (self.use_entropy and not self.dual)
-                else 0.0)
+                else 0.0, compute_dtype=self.train_dtype)
         if not self.config['training'].get('dis', False):
             return base
         dis_step = self._build_dis_step()
@@ -632,8 +648,11 @@ class SegmentationAgent(NetRunAgent):
         template = {'params': self.variables['params'],
                     'batch_stats': self.variables['batch_stats']}
         loaded = ckpt_lib.load_checkpoint(ckpt_name, template)
-        variables = {'params': loaded['state']['params'],
-                     'batch_stats': loaded['state']['batch_stats']}
+        from fpl_plus_tpu.utils.precision import cast_infer_variables
+        variables = cast_infer_variables(
+            {'params': loaded['state']['params'],
+             'batch_stats': loaded['state']['batch_stats']},
+            self.infer_precision)
         logging.info('loaded checkpoint %s (iteration %d)', ckpt_name,
                      loaded['iteration'])
 
@@ -731,11 +750,14 @@ class SegmentationAgent(NetRunAgent):
             self.inferer = self._make_inferer()
         template = {'params': self.variables['params'],
                     'batch_stats': self.variables['batch_stats']}
+        from fpl_plus_tpu.utils.precision import cast_infer_variables
         all_vars = []
         for name in ckpt_names:
             loaded = ckpt_lib.load_checkpoint(name, template)
-            all_vars.append({'params': loaded['state']['params'],
-                             'batch_stats': loaded['state']['batch_stats']})
+            all_vars.append(cast_infer_variables(
+                {'params': loaded['state']['params'],
+                 'batch_stats': loaded['state']['batch_stats']},
+                self.infer_precision))
         infer_times = []
         for batch_data in self.test_loader:
           for data in _split_batch(batch_data):

@@ -79,7 +79,7 @@ class NLLCoTeaching(SegmentationAgent):
             batch = batches[0]
 
             def loss_fn(params):
-                (out1, out2), new_bs = agent.module.apply(
+                (out1, out2), new_bs = agent._train_apply_fn()(
                     {'params': params, 'batch_stats': state.batch_stats},
                     batch['image'], 0, True, rngs={'dropout': rng},
                     mutable=['batch_stats'])
@@ -145,7 +145,7 @@ class NLLTriNet(NLLCoTeaching):
             batch = batches[0]
 
             def loss_fn(params):
-                outs, new_bs = agent.module.apply(
+                outs, new_bs = agent._train_apply_fn()(
                     {'params': params, 'batch_stats': state.batch_stats},
                     batch['image'], 0, True, rngs={'dropout': rng},
                     mutable=['batch_stats'])
@@ -280,7 +280,7 @@ class NLLDAST(SegmentationAgent):
             y1 = noise['label_prob']
 
             def loss_fn(params):
-                (b0, b1), new_bs = agent.module.apply(
+                (b0, b1), new_bs = agent._train_apply_fn()(
                     {'params': params, 'batch_stats': state.batch_stats},
                     inputs, 0, True, rngs={'dropout': rng},
                     mutable=['batch_stats'])

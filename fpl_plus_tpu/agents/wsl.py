@@ -53,7 +53,7 @@ class WSLSegAgent(SegmentationAgent):
         return batch
 
     def _apply_train(self, params, batch_stats, x, rng):
-        out, upd = self.module.apply(
+        out, upd = self._train_apply_fn()(
             {'params': params, 'batch_stats': batch_stats}, x, 0, True,
             rngs={'dropout': rng}, mutable=['batch_stats'])
         return out, upd['batch_stats']

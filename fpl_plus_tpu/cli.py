@@ -71,6 +71,8 @@ def main(argv=None):
     config = parse_config(cfg_file)
     config = synchronize_config(config)
     _enable_compilation_cache()
+    from fpl_plus_tpu.utils.precision import apply_matmul_precision
+    apply_matmul_precision(config)
     log_dir = config['training']['ckpt_save_dir']
     os.makedirs(log_dir, exist_ok=True)
     _setup_logging('{0}/log_{1}.txt'.format(log_dir, stage))
@@ -107,6 +109,8 @@ def _paradigm_main(argv, section, method_key, registry_getter, usage):
     config = parse_config(cfg_file)
     config = synchronize_config(config)
     _enable_compilation_cache()
+    from fpl_plus_tpu.utils.precision import apply_matmul_precision
+    apply_matmul_precision(config)
     log_dir = config['training']['ckpt_save_dir']
     os.makedirs(log_dir, exist_ok=True)
     _setup_logging('{0}/log_{1}.txt'.format(log_dir, stage))

@@ -328,6 +328,12 @@ class Inferer:
         if self.output_mode not in ('logits', 'prob', 'label'):
             raise ValueError('Undefined output_mode {0}'.format(
                 self.output_mode))
+        # mixed precision: 'bfloat16' casts the volume (and hence all patch
+        # activations) to bf16 — callers cast the params via
+        # utils/precision.cast_infer_variables; accumulation/TTA averaging
+        # stay f32 (see _sliding_window_jit)
+        from fpl_plus_tpu.utils.precision import resolve_dtype
+        self.compute_dtype = resolve_dtype(config.get('precision', 'float32'))
 
     def run(self, predictor: Callable, ctx, image,
             tta_override: Optional[bool] = None):
@@ -352,6 +358,8 @@ class Inferer:
         image = np.asarray(image)
         assert image.shape[0] == 1, 'inference processes one volume at a time'
         vol = jnp.asarray(np.moveaxis(image[0], 0, -1))   # [*img, C]
+        if self.compute_dtype is not None:
+            vol = vol.astype(self.compute_dtype)
         img_shape = vol.shape[:-1]
         dim = len(img_shape)
 

@@ -87,14 +87,20 @@ def _domain_loss(apply_fn, params, batch_stats, batch, domain, rng,
 
 def make_train_step(apply_fn: Callable, loss_calculator: Callable,
                     optimizer, num_domains: int = 1, joint: bool = True,
-                    fpl_uda: bool = False, entropy_coeff: float = 0.0):
+                    fpl_uda: bool = False, entropy_coeff: float = 0.0,
+                    compute_dtype=None):
     """Build the jitted per-iteration step.
 
     ``batches`` is a tuple of per-domain batch dicts (length num_domains),
     each with channels-last ``image``/``label_prob`` (+ optional weights).
     Returns (new_state, metrics) where metrics carries loss and per-domain
     classwise dice.
+
+    ``compute_dtype`` (e.g. ``jnp.bfloat16``) runs forward/backward in that
+    dtype with f32 master params / DSBN stats / loss (utils/precision.py).
     """
+    from fpl_plus_tpu.utils.precision import cast_apply_fn
+    apply_fn = cast_apply_fn(apply_fn, compute_dtype)
 
     def step_joint(state: TrainState, batches, rng):
         rngs = jax.random.split(rng, num_domains)
@@ -158,7 +164,8 @@ def make_train_step(apply_fn: Callable, loss_calculator: Callable,
 
 def make_dual_consistency_step(apply_fn: Callable, loss_calculator: Callable,
                                optimizer, fpl_uda: bool = False,
-                               entropy_coeff: float = 1.0):
+                               entropy_coeff: float = 1.0,
+                               compute_dtype=None):
     """The reference's ``training_dual_doamian`` variant
     (net_run_dsbn/agent_seg.py:157-290) with the evidently-intended
     backward/optimizer steps restored (the snapshot lacks them):
@@ -175,6 +182,8 @@ def make_dual_consistency_step(apply_fn: Callable, loss_calculator: Callable,
     Batches: (batch0, batch1) where batch1 carries ``image1``. hyper:
     {'consis_gate': 0.0 or 1.0}.
     """
+    from fpl_plus_tpu.utils.precision import cast_apply_fn
+    apply_fn = cast_apply_fn(apply_fn, compute_dtype)
 
     def step(state: TrainState, batches, rng, hyper):
         batch0, batch1 = batches

@@ -31,14 +31,54 @@ import pandas as pd
 from fpl_plus_tpu.io.image_io import load_image_as_nd_array
 
 
+class _VolumeCache:
+    """Byte-bounded LRU of decoded volumes keyed by path.
+
+    Training recipes revisit the same manifest rows every epoch; the
+    reference re-decodes the NIfTI each time and hides the cost behind
+    16-32 DataLoader workers (net_run_dsbn/agent_abstract.py:265,301). A
+    TPU host feeding chips from a shared CPU budget is better served by
+    decoding each volume once: items become a memcpy + the random
+    transform chain. Arrays are returned as copies so in-place transforms
+    can never corrupt the cache."""
+
+    def __init__(self, max_bytes: int):
+        from collections import OrderedDict
+        self.max_bytes = max_bytes
+        self.used = 0
+        self.store = OrderedDict()
+
+    def load(self, path: str):
+        entry = self.store.get(path)
+        if entry is not None:
+            self.store.move_to_end(path)
+        else:
+            entry = load_image_as_nd_array(path)
+            if not (isinstance(entry, dict) and 'data_array' in entry):
+                return entry      # exotic payloads (.npy bundles): no cache
+            nbytes = int(entry['data_array'].nbytes)
+            if nbytes > self.max_bytes:
+                return entry
+            while self.used + nbytes > self.max_bytes and self.store:
+                _, old = self.store.popitem(last=False)
+                self.used -= int(old['data_array'].nbytes)
+            self.store[path] = entry
+            self.used += nbytes
+        out = dict(entry)
+        out['data_array'] = entry['data_array'].copy()
+        return out
+
+
 class NiftyDataset:
     def __init__(self, root_dir: str, csv_file: str, modal_num: int = 1,
-                 with_label: bool = False, transform=None):
+                 with_label: bool = False, transform=None,
+                 cache_bytes: int = 0):
         self.root_dir = root_dir
         self.csv_items = pd.read_csv(csv_file)
         self.modal_num = modal_num
         self.with_label = with_label
         self.transform = transform
+        self._cache = _VolumeCache(cache_bytes) if cache_bytes else None
         keys = list(self.csv_items.keys())
         self.image_weight_idx = (keys.index('image_weight')
                                  if 'image_weight' in keys else None)
@@ -52,9 +92,15 @@ class NiftyDataset:
     def _full_path(self, name: str) -> str:
         return '{0}/{1}'.format(self.root_dir, name)
 
+    def _load_image(self, path: str):
+        """Decoded-image load through the optional LRU volume cache."""
+        if self._cache is not None:
+            return self._cache.load(path)
+        return load_image_as_nd_array(path)
+
     def _load_array(self, idx: int, col: int, dtype) -> np.ndarray:
         name = self._full_path(self.csv_items.iloc[idx, col])
-        return np.asarray(load_image_as_nd_array(name)['data_array'], dtype)
+        return np.asarray(self._load_image(name)['data_array'], dtype)
 
     def _get_label(self, idx: int) -> np.ndarray:
         col = list(self.csv_items.keys()).index('label')
@@ -72,7 +118,7 @@ class NiftyDataset:
         image_dict = None
         for i in range(self.modal_num):
             image_name = self.csv_items.iloc[idx, i]
-            image_dict = load_image_as_nd_array(self._full_path(image_name))
+            image_dict = self._load_image(self._full_path(image_name))
             names_list.append(image_name)
             image_list.append(image_dict['data_array'])
         image = np.asarray(np.concatenate(image_list, axis=0), np.float32)
@@ -181,7 +227,7 @@ class ClassificationDataset(NiftyDataset):
         names_list, image_list = [], []
         for i in range(self.modal_num):
             image_name = self.csv_items.iloc[idx, i]
-            image_dict = load_image_as_nd_array(self._full_path(image_name))
+            image_dict = self._load_image(self._full_path(image_name))
             names_list.append(image_name)
             image_list.append(image_dict['data_array'])
         image = np.asarray(np.concatenate(image_list, axis=0), np.float32)

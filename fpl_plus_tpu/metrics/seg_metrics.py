@@ -5,6 +5,14 @@ Numerical parity with the reference metric kernels
 edge extraction via binary erosion, ASSD/HD95 on raster-scan distance maps
 (our C++ ``fpl_plus_tpu.native`` replaces GeodisTK — lamb=0, 2 iterations,
 zero image), including the reference's ``assd > 50 -> 50`` clamp.
+
+Deliberate 2D divergence: the reference's 2D surface distances IGNORE
+spacing (``GeodisTK.geodesic2d_raster_scan`` has no spacing argument —
+evaluation_seg_train.py:122-123 — so its 2D ASSD/HD95 come out in pixel
+units), while this implementation passes spacing to the 2D raster scan
+too. Physical-unit distances are the intended behavior here; with unit
+spacing (or no spacing column) the two are identical, which covers every
+shipped recipe (3D volumes).
 """
 from __future__ import annotations
 

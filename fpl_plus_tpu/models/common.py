@@ -15,13 +15,20 @@ from flax import linen as nn
 
 
 class PReLU(nn.Module):
-    """Parametric ReLU with a single shared slope (torch nn.PReLU default)."""
+    """Parametric ReLU with a single shared slope (torch nn.PReLU default).
+
+    ``return_param=True`` registers and returns the slope without applying
+    it — used by the fused DSBN+PReLU eval path (models/dsbn.py), which
+    consumes the alpha inside the Pallas kernel while keeping this module
+    the parameter's owner (checkpoint layout is identical either way)."""
     init_value: float = 0.25
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_param: bool = False):
         alpha = self.param('alpha', lambda k: jnp.asarray(self.init_value,
                                                           jnp.float32))
+        if return_param:
+            return alpha
         return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
 
 

@@ -26,7 +26,8 @@ class DomainBatchNorm(nn.Module):
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x, domain, use_running_average: bool):
+    def __call__(self, x, domain, use_running_average: bool,
+                 prelu_alpha=None):
         nd, c = self.num_domains, self.features
         scale = self.param('scale', nn.initializers.ones, (nd, c))
         bias = self.param('bias', nn.initializers.zeros, (nd, c))
@@ -35,6 +36,15 @@ class DomainBatchNorm(nn.Module):
         ra_var = self.variable('batch_stats', 'var',
                                lambda: jnp.ones((nd, c), jnp.float32))
         domain = jnp.asarray(domain, jnp.int32)
+
+        # fused eval path: normalize + PReLU in one Pallas VMEM pass
+        # (ops/pallas_fused.py; identical numerics to the two-op fallback).
+        # Only valid with running stats — training always uses the
+        # unfused path so batch-stat updates stay in one place.
+        if prelu_alpha is not None and use_running_average:
+            from fpl_plus_tpu.ops.pallas_fused import dsbn_prelu
+            return dsbn_prelu(x, scale, bias, ra_mean.value, ra_var.value,
+                              domain, prelu_alpha, self.eps)
 
         if use_running_average:
             mean = jnp.take(ra_mean.value, domain, axis=0)

@@ -30,12 +30,15 @@ def _common(cfg):
 def _unet2d5_dsbn(cfg):
     return UNet2D5DSBN(conv_dims=tuple(cfg['conv_dims']),
                        bilinear=cfg.get('bilinear', False),
-                       num_domains=cfg.get('num_domains', 2), **_common(cfg))
+                       num_domains=cfg.get('num_domains', 2),
+                       fused_eval=cfg.get('pallas_fused', False),
+                       **_common(cfg))
 
 
 def _unet2d5(cfg):
     return UNet2D5(conv_dims=tuple(cfg['conv_dims']),
-                   bilinear=cfg.get('bilinear', False), **_common(cfg))
+                   bilinear=cfg.get('bilinear', False),
+                   fused_eval=cfg.get('pallas_fused', False), **_common(cfg))
 
 
 def _unet3d(cfg):

@@ -31,26 +31,36 @@ from fpl_plus_tpu.models.dsbn import DomainBatchNorm, InstanceNorm
 
 
 class ConvBlockND(nn.Module):
-    """Two (conv -> DSBN -> PReLU) stages with dropout between them."""
+    """Two (conv -> DSBN -> PReLU) stages with dropout between them.
+
+    ``fused_eval`` routes the eval-mode DSBN+PReLU pair through the Pallas
+    fusion (ops/pallas_fused.py) — identical numerics and parameter layout,
+    one VMEM pass instead of two elementwise ops."""
     out_channels: int
     num_domains: int
     dim: int
     dropout_p: float = 0.0
+    fused_eval: bool = False
+
+    def _norm_act(self, x, domain, train, bn_name, act_name):
+        bn = DomainBatchNorm(self.out_channels, self.num_domains,
+                             name=bn_name)
+        act = PReLU(name=act_name)
+        if self.fused_eval and not train:
+            alpha = act(x, return_param=True)
+            return bn(x, domain, True, prelu_alpha=alpha)
+        return act(bn(x, domain, not train))
 
     @nn.compact
     def __call__(self, x, domain, train: bool, use_dropout: bool):
         k = (3,) * self.dim
         x = nn.Conv(self.out_channels, k, padding='SAME', name='conv1')(x)
-        x = DomainBatchNorm(self.out_channels, self.num_domains,
-                            name='bn1')(x, domain, not train)
-        x = PReLU(name='act1')(x)
+        x = self._norm_act(x, domain, train, 'bn1', 'act1')
         if self.dropout_p > 0:
             x = nn.Dropout(self.dropout_p, deterministic=not use_dropout,
                            name='drop')(x)
         x = nn.Conv(self.out_channels, k, padding='SAME', name='conv2')(x)
-        x = DomainBatchNorm(self.out_channels, self.num_domains,
-                            name='bn2')(x, domain, not train)
-        x = PReLU(name='act2')(x)
+        x = self._norm_act(x, domain, train, 'bn2', 'act2')
         return x
 
 
@@ -60,6 +70,7 @@ class DownBlock(nn.Module):
     dim: int
     dropout_p: float = 0.0
     downsample: bool = True
+    fused_eval: bool = False
 
     @nn.compact
     def __call__(self, x, domain, train: bool, use_dropout: bool):
@@ -67,8 +78,8 @@ class DownBlock(nn.Module):
         if fold:
             x, nd = fold_depth_to_batch(x)
         out = ConvBlockND(self.out_channels, self.num_domains, self.dim,
-                          self.dropout_p, name='conv')(x, domain, train,
-                                                       use_dropout)
+                          self.dropout_p, self.fused_eval,
+                          name='conv')(x, domain, train, use_dropout)
         out_d = max_pool(out, 2) if self.downsample else None
         if fold:
             out = unfold_depth_from_batch(out, nd)
@@ -84,6 +95,7 @@ class UpBlock(nn.Module):
     dim: int
     dropout_p: float = 0.0
     bilinear: bool = True
+    fused_eval: bool = False
 
     @nn.compact
     def __call__(self, x1, x2, domain, train: bool, use_dropout: bool):
@@ -101,8 +113,8 @@ class UpBlock(nn.Module):
                                   name='up')(x1)
         x = jnp.concatenate([x2, x1], axis=-1)
         out = ConvBlockND(self.out_channels, self.num_domains, self.dim,
-                          self.dropout_p, name='conv')(x, domain, train,
-                                                       use_dropout)
+                          self.dropout_p, self.fused_eval,
+                          name='conv')(x, domain, train, use_dropout)
         if fold:
             out = unfold_depth_from_batch(out, nd1)
         return out
@@ -117,6 +129,9 @@ class UNet2D5DSBN(nn.Module):
     class_num: int
     bilinear: bool = False
     num_domains: int = 2
+    # [network] pallas_fused: route eval DSBN+PReLU through the Pallas
+    # kernel (numerics and checkpoints identical; perf-only switch)
+    fused_eval: bool = False
 
     @nn.compact
     def __call__(self, x, domain_label=0, train: bool = False,
@@ -129,17 +144,18 @@ class UNet2D5DSBN(nn.Module):
         assert len(ft) == 5
         args = (domain_label, train, use_dropout)
         nd = self.num_domains
+        fe = self.fused_eval
 
-        x0, x0_d = DownBlock(ft[0], nd, dims[0], dp[0], True, name='block0')(x, *args)
-        x1, x1_d = DownBlock(ft[1], nd, dims[1], dp[1], True, name='block1')(x0_d, *args)
-        x2, x2_d = DownBlock(ft[2], nd, dims[2], dp[2], True, name='block2')(x1_d, *args)
-        x3, x3_d = DownBlock(ft[3], nd, dims[3], dp[3], True, name='block3')(x2_d, *args)
-        x4, _ = DownBlock(ft[4], nd, dims[4], dp[4], False, name='block4')(x3_d, *args)
+        x0, x0_d = DownBlock(ft[0], nd, dims[0], dp[0], True, fe, name='block0')(x, *args)
+        x1, x1_d = DownBlock(ft[1], nd, dims[1], dp[1], True, fe, name='block1')(x0_d, *args)
+        x2, x2_d = DownBlock(ft[2], nd, dims[2], dp[2], True, fe, name='block2')(x1_d, *args)
+        x3, x3_d = DownBlock(ft[3], nd, dims[3], dp[3], True, fe, name='block3')(x2_d, *args)
+        x4, _ = DownBlock(ft[4], nd, dims[4], dp[4], False, fe, name='block4')(x3_d, *args)
 
-        y = UpBlock(ft[3], ft[3], nd, dims[3], dp[3], self.bilinear, name='up1')(x4, x3, *args)
-        y = UpBlock(ft[2], ft[2], nd, dims[2], dp[2], self.bilinear, name='up2')(y, x2, *args)
-        y = UpBlock(ft[1], ft[1], nd, dims[1], dp[1], self.bilinear, name='up3')(y, x1, *args)
-        y = UpBlock(ft[0], ft[0], nd, dims[0], dp[0], self.bilinear, name='up4')(y, x0, *args)
+        y = UpBlock(ft[3], ft[3], nd, dims[3], dp[3], self.bilinear, fe, name='up1')(x4, x3, *args)
+        y = UpBlock(ft[2], ft[2], nd, dims[2], dp[2], self.bilinear, fe, name='up2')(y, x2, *args)
+        y = UpBlock(ft[1], ft[1], nd, dims[1], dp[1], self.bilinear, fe, name='up3')(y, x1, *args)
+        y = UpBlock(ft[0], ft[0], nd, dims[0], dp[0], self.bilinear, fe, name='up4')(y, x0, *args)
 
         logits = nn.Conv(self.class_num, (1, 3, 3), padding='SAME',
                          name='out_conv')(y)

@@ -91,3 +91,32 @@ def test_loader_stream_crosses_epochs(fixture_dir):
     assert b2['image'].shape[0] == 3
     np.testing.assert_allclose(b1['image'][0], b1['image'][1])
     loader.shutdown()
+
+
+def test_volume_cache_lru_and_isolation(fixture_dir, tmp_path):
+    """Decoded-volume LRU cache: identical samples, mutation-safe copies,
+    byte-bounded eviction."""
+    import numpy as np
+    from fpl_plus_tpu.io.dataset import NiftyDataset, _VolumeCache
+
+    csv = tmp_path / 'm.csv'
+    csv.write_text('image,label\nimg.nii.gz,lab.nii.gz\n')
+    plain = NiftyDataset(str(fixture_dir), str(csv), with_label=True)
+    cached = NiftyDataset(str(fixture_dir), str(csv), with_label=True,
+                          cache_bytes=1 << 30)
+    a, b = plain[0], cached[0]
+    np.testing.assert_array_equal(a['image'], b['image'])
+    np.testing.assert_array_equal(a['label'], b['label'])
+    # second (cache-hit) read is unaffected by mutating the first
+    b['image'] += 1000.0
+    c = cached[0]
+    np.testing.assert_array_equal(a['image'], c['image'])
+    assert cached._cache.used > 0
+
+    # eviction keeps the byte budget
+    one = plain[0]['image'].nbytes
+    small = _VolumeCache(max_bytes=int(one * 1.5))
+    small.load(str(fixture_dir / 'img.nii.gz'))
+    small.load(str(fixture_dir / 'lab.nii.gz'))
+    assert small.used <= small.max_bytes
+    assert len(small.store) >= 1
