@@ -46,9 +46,10 @@ def load_volume_raw() -> np.ndarray:
         size=(1, 40, 160, 272)).astype(np.float32)
 
 
-def bench_inference(module, variables, img) -> float:
+def bench_inference(module, variables, img, precision='float32') -> float:
     import jax.numpy as jnp
     from fpl_plus_tpu.engine.infer import Inferer
+    from fpl_plus_tpu.utils.precision import cast_infer_variables
 
     # output_mode='label': the serving path — device-side argmax, the
     # final uint8 label volume is what crosses to the host (the reference
@@ -56,14 +57,15 @@ def bench_inference(module, variables, img) -> float:
     test_cfg = {'sliding_window_enable': True,
                 'sliding_window_size': [28, 128, 128],
                 'sliding_window_stride': [28, 128, 128],
-                'tta_mode': 1, 'class_num': 2, 'output_mode': 'label'}
+                'tta_mode': 1, 'class_num': 2, 'output_mode': 'label',
+                'precision': precision}
 
     def predictor(ctx, x):
         out = module.apply(ctx[0], x, ctx[1], False)
         return out[0] if isinstance(out, (tuple, list)) else out
 
     inferer = Inferer(test_cfg, patch_chunk=2)
-    ctx = (variables, jnp.int32(1))
+    ctx = (cast_infer_variables(variables, precision), jnp.int32(1))
     inferer.run(predictor, ctx, img)          # warmup / compile
     # depth-1 pipeline (the serving pattern): volume i's device->host
     # transfer overlaps volume i+1's compute; end-to-end time over n_rep
@@ -80,12 +82,13 @@ def bench_inference(module, variables, img) -> float:
     return n_rep / (time.time() - t0)
 
 
-def bench_train_step(module, variables) -> float:
+def bench_train_step(module, variables, precision='float32') -> float:
     import jax
     import jax.numpy as jnp
     from fpl_plus_tpu.engine.optim import create_optimizer
     from fpl_plus_tpu.engine.train import create_train_state, make_train_step
     from fpl_plus_tpu.losses import SegLossDict
+    from fpl_plus_tpu.utils.precision import resolve_dtype
 
     import jax as _jax
     optimizer = create_optimizer(
@@ -99,7 +102,8 @@ def bench_train_step(module, variables) -> float:
         optimizer)
     loss_calc = SegLossDict['DiceLoss']({})
     step = make_train_step(module.apply, loss_calc, optimizer,
-                           num_domains=2, joint=True, fpl_uda=True)
+                           num_domains=2, joint=True, fpl_uda=True,
+                           compute_dtype=resolve_dtype(precision))
 
     rs = np.random.RandomState(0)
 
@@ -115,14 +119,16 @@ def bench_train_step(module, variables) -> float:
 
     batches = (batch(), batch())
     rng = jax.random.PRNGKey(0)
-    state, _ = step(state, batches, rng)      # warmup / compile
-    jax.block_until_ready(state.params)
+    state, metrics = step(state, batches, rng)      # warmup / compile
+    # sync via a value fetch: on the tunneled backend block_until_ready
+    # can return before execution finishes; a host read cannot
+    float(metrics['loss'])
     n_rep = 10
     t0 = time.time()
     for _ in range(n_rep):
         rng, sub = jax.random.split(rng)
         state, metrics = step(state, batches, sub)
-    jax.block_until_ready(state.params)
+    float(metrics['loss'])
     return (time.time() - t0) / n_rep
 
 
@@ -200,16 +206,24 @@ def main():
     img = ((img - img.mean()) / (img.std() + 1e-6))[None].astype(np.float32)
 
     vps = bench_inference(module, variables, img)
+    vps_bf16 = bench_inference(module, variables, img, 'bfloat16')
     step_sec = bench_train_step(module, variables)
+    step_bf16 = bench_train_step(module, variables, 'bfloat16')
     e2e_vps = bench_e2e_test_stage(module, variables)
 
     print(json.dumps({
         'metric': 'sliding_window_inference',
         'value': round(vps, 4), 'unit': 'volumes/sec',
         'vs_baseline': round(vps / BASELINE_VOL_PER_SEC, 1),
+        'bf16_inference': {
+            'value': round(vps_bf16, 4), 'unit': 'volumes/sec',
+            'vs_baseline': round(vps_bf16 / BASELINE_VOL_PER_SEC, 1)},
         'train_step': {
             'value': round(step_sec, 4), 'unit': 'sec/step',
             'vs_baseline': round(BASELINE_TRAIN_STEP_SEC / step_sec, 1)},
+        'bf16_train_step': {
+            'value': round(step_bf16, 4), 'unit': 'sec/step',
+            'vs_baseline': round(BASELINE_TRAIN_STEP_SEC / step_bf16, 1)},
         'e2e_test_stage': {
             'value': round(e2e_vps, 4), 'unit': 'volumes/sec',
             'vs_baseline': round(e2e_vps / BASELINE_VOL_PER_SEC, 1)}}))

@@ -92,11 +92,13 @@ def _as_list(out):
     return list(out) if isinstance(out, (tuple, list)) else [out]
 
 
-@partial(jax.jit, static_argnames=('predictor', 'window', 'chunk'))
+@partial(jax.jit, static_argnames=('predictor', 'window', 'chunk',
+                                   'unroll_accum'))
 def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
                         starts: jnp.ndarray, weights: jnp.ndarray,
                         window: Tuple[int, ...], chunk: int,
-                        pads: Optional[jnp.ndarray] = None):
+                        pads: Optional[jnp.ndarray] = None,
+                        unroll_accum: bool = False):
     """Core program: volume_v [V, *img, C], starts [P, dim] (P % chunk == 0),
     ``weights`` [P] scaling each window's contribution to output AND counter
     (0 for the duplicate starts that round out the last chunk — a nonzero
@@ -151,13 +153,20 @@ def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
 
     # the zero-valued dependency on `starts` keeps the accumulators "varying"
     # when this program runs inside shard_map with a device-sharded grid
-    # (otherwise the scan carry mixes unvarying init with varying updates)
+    # (otherwise the scan carry mixes unvarying init with varying updates).
+    # Accumulators are LISTS of per-variant arrays (not stacked [V, ...]
+    # tensors): every dynamic_slice / dynamic_update_slice below then keeps
+    # SCALAR traced start indices — vmapping the updates over variants
+    # lowers them to gather/scatter HLOs instead (measured slower on v5e).
     zero = (starts[0, 0] * 0).astype(jnp.float32)
-    outs0 = [jnp.zeros((v_num,) + out_shapes[i] + (ks[i],), jnp.float32)
-             + zero for i in range(len(probes))]
-    cnt_lead = (v_num,) if per_variant else ()
-    cnts0 = [jnp.zeros(cnt_lead + out_shapes[i] + (1,), jnp.float32) + zero
-             for i in range(len(probes))]
+    outs0 = [[jnp.zeros(out_shapes[i] + (ks[i],), jnp.float32) + zero
+              for _ in range(v_num)] for i in range(len(probes))]
+    if per_variant:
+        cnts0 = [[jnp.zeros(out_shapes[i] + (1,), jnp.float32) + zero
+                  for _ in range(v_num)] for i in range(len(probes))]
+    else:
+        cnts0 = [jnp.zeros(out_shapes[i] + (1,), jnp.float32) + zero
+                 for i in range(len(probes))]
     ones_wins = [jnp.ones(windows[i] + (1,), jnp.float32)
                  for i in range(len(probes))]
 
@@ -173,53 +182,114 @@ def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
         return jax.lax.dynamic_update_slice(acc, cur + patch,
                                             tuple(s0) + (0,))
 
+    def extract_chunk(starts_c):
+        """Static unroll over (variant, chunk) — scalar-start dynamic
+        slices; [V*chunk, *win, C] ordered V-major like the pred reshape."""
+        patch_list = []
+        for v in range(v_num):
+            for j in range(chunk):
+                patch_list.append(extract(volume_v[v],
+                                          starts_c[j] + offs[v]))
+        return jnp.stack(patch_list)
+
+    if unroll_accum:
+        # Decoupled accumulation (profiled on v5e): inside a lax.scan
+        # body, XLA lowers the read-add-write dynamic updates on the
+        # carry with select fusions + double-buffer copies (~130 ms per
+        # volume — 3x the conv compute). Here the scan only runs the
+        # forwards and stacks predictions; the overlap-add is emitted as
+        # a STRAIGHT-LINE chain of scalar-start dynamic updates, which
+        # XLA executes in place. Chosen by the caller when the total
+        # update count is small (window count x TTA variants).
+        def body_fwd(_, chunk_in):
+            starts_c, _w = chunk_in
+            preds = _as_list(predictor(ctx, extract_chunk(starts_c)))
+            return 0, [p.astype(jnp.float32).reshape(
+                (v_num, chunk) + windows[i] + (ks[i],))
+                for i, p in enumerate(preds)]
+
+        _, pred_seq = jax.lax.scan(body_fwd, 0,
+                                   (starts_chunks, weights_chunks))
+        n_chunks = starts_chunks.shape[0]
+        outs, cnts = [], []
+        for i in range(len(probes)):
+            outs_v, cnts_v = [], []
+            for v in range(v_num):
+                o_v = outs0[i][v]
+                for c in range(n_chunks):
+                    for j in range(chunk):
+                        p = c * chunk + j
+                        o_v = add_at(o_v,
+                                     scaled(starts[p] + offs[v], i),
+                                     pred_seq[i][c, v, j] * weights[p],
+                                     windows[i])
+                outs_v.append(o_v)
+                if per_variant:
+                    c_v = cnts0[i][v]
+                    for p in range(n_chunks * chunk):
+                        c_v = add_at(c_v, scaled(starts[p] + offs[v], i),
+                                     ones_wins[i] * weights[p], windows[i])
+                    cnts_v.append(c_v)
+            outs.append(jnp.stack(outs_v))
+            if per_variant:
+                cnts.append(jnp.stack(cnts_v))
+            else:
+                c_a = cnts0[i]
+                for p in range(n_chunks * chunk):
+                    c_a = add_at(c_a, scaled(starts[p], i),
+                                 ones_wins[i] * weights[p], windows[i])
+                cnts.append(c_a)
+        return outs, cnts
+
     def body(carry, chunk_in):
         starts_c, weights_c = chunk_in
         outs, cnts = carry
-        # [V, chunk, *win, C] — each variant reads at its shifted grid
-        if per_variant:
-            patches = jax.vmap(lambda vol, off: jax.vmap(
-                lambda s: extract(vol, s + off))(starts_c))(volume_v, offs)
-        else:
-            patches = jax.vmap(lambda vol: jax.vmap(
-                lambda s: extract(vol, s))(starts_c))(volume_v)
-        flat = patches.reshape((v_num * chunk,) + window + (in_c,))
+        flat = extract_chunk(starts_c)
         preds = _as_list(predictor(ctx, flat))
         new_outs, new_cnts = [], []
         for i, pred in enumerate(preds):
             pred = pred.astype(jnp.float32).reshape(
                 (v_num, chunk) + windows[i] + (ks[i],))
-
-            def acc_variant(out_v, preds_v, off, i=i):
-                def acc_one(j, o):
-                    return add_at(o, scaled(starts_c[j] + off, i),
-                                  preds_v[j] * weights_c[j], windows[i])
-                return jax.lax.fori_loop(0, chunk, acc_one, out_v)
-
-            new_outs.append(jax.vmap(partial(acc_variant, i=i))(
-                outs[i], pred, offs))
+            outs_v = []
+            for v in range(v_num):
+                o_v = outs[i][v]
+                for j in range(chunk):
+                    o_v = add_at(o_v, scaled(starts_c[j] + offs[v], i),
+                                 pred[v, j] * weights_c[j], windows[i])
+                outs_v.append(o_v)
+            new_outs.append(outs_v)
 
             if per_variant:
-                def cnt_variant(c_v, off, i=i):
-                    def cnt_one(j, c):
-                        return add_at(c, scaled(starts_c[j] + off, i),
-                                      ones_wins[i] * weights_c[j],
-                                      windows[i])
-                    return jax.lax.fori_loop(0, chunk, cnt_one, c_v)
-
-                new_cnts.append(jax.vmap(partial(cnt_variant, i=i))(
-                    cnts[i], offs))
+                cnts_v = []
+                for v in range(v_num):
+                    c_v = cnts[i][v]
+                    for j in range(chunk):
+                        c_v = add_at(c_v, scaled(starts_c[j] + offs[v], i),
+                                     ones_wins[i] * weights_c[j],
+                                     windows[i])
+                    cnts_v.append(c_v)
+                new_cnts.append(cnts_v)
             else:
-                def cnt_one(j, c, i=i):
-                    return add_at(c, scaled(starts_c[j], i),
-                                  ones_wins[i] * weights_c[j], windows[i])
-                new_cnts.append(jax.lax.fori_loop(0, chunk, cnt_one,
-                                                  cnts[i]))
+                c = cnts[i]
+                for j in range(chunk):
+                    c = add_at(c, scaled(starts_c[j], i),
+                               ones_wins[i] * weights_c[j], windows[i])
+                new_cnts.append(c)
         return (new_outs, new_cnts), None
 
     (outs, cnts), _ = jax.lax.scan(body, (outs0, cnts0),
                                    (starts_chunks, weights_chunks))
+    # restore the stacked [V, ...] / [*img, 1] return contract
+    outs = [jnp.stack(o) for o in outs]
+    if per_variant:
+        cnts = [jnp.stack(c) for c in cnts]
     return outs, cnts
+
+
+@jax.jit
+def _packbits_jit(label):
+    """uint8 binary label volume -> bit-packed uint8 vector (device op)."""
+    return jnp.packbits(label.reshape(-1))
 
 
 def _finalize(out, output_mode: str):
@@ -234,12 +304,13 @@ def _finalize(out, output_mode: str):
 
 
 @partial(jax.jit, static_argnames=('predictor', 'window', 'chunk', 'tta',
-                                   'output_mode'))
+                                   'output_mode', 'unroll_accum'))
 def _sliding_window_full(predictor, ctx, vol: jnp.ndarray,
                          starts: jnp.ndarray, weights: jnp.ndarray,
                          window: Tuple[int, ...],
                          chunk: int, tta: bool, output_mode: str = 'logits',
-                         pads: Optional[jnp.ndarray] = None):
+                         pads: Optional[jnp.ndarray] = None,
+                         unroll_accum: bool = False):
     """One-dispatch program per volume: flip variants, sliding-window
     accumulation, overlap division, TTA un-flip averaging and the output
     head all fused — a single host round-trip matters on high-latency
@@ -248,7 +319,8 @@ def _sliding_window_full(predictor, ctx, vol: jnp.ndarray,
     division clean and the caller crops the margin away."""
     variants = _make_variants(vol, tta)
     outs, cnts = _sliding_window_jit(predictor, ctx, variants, starts,
-                                     weights, window, chunk, pads)
+                                     weights, window, chunk, pads,
+                                     unroll_accum)
     return [_finalize(_unflip_mean(
         o / jnp.maximum(c if c.ndim == o.ndim else c[None], 1e-6), tta),
         output_mode) for o, c in zip(outs, cnts)]
@@ -318,16 +390,29 @@ class Inferer:
 
     def __init__(self, config: dict, patch_chunk: int = 2, mesh=None):
         self.config = config
-        self.patch_chunk = patch_chunk
+        # windows dispatched per scan step ([testing] patch_chunk): larger
+        # chunks feed the MXU bigger batches at the cost of accumulator
+        # latency hiding; 2 measured best on v5e for the VS recipe
+        self.patch_chunk = int(config.get('patch_chunk', patch_chunk))
         # a jax.sharding.Mesh spreads the sliding-window patch grid across
         # its devices (spatial parallelism); None = single-device
         self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
-        # 'logits' (reference parity), 'prob', or 'label' (device-side
-        # argmax, minimal transfer — for serving)
+        # 'logits' (reference parity), 'prob', 'label' (device-side argmax,
+        # 8-16x less device->host traffic) or 'packed_label' (binary tasks:
+        # labels additionally bit-packed on device, another 8x less D2H —
+        # on a transfer-bound serving link the label transfer IS the
+        # per-volume cost, measured round 2). fetch() unpacks, so
+        # 'packed_label' returns byte-identical results to 'label'.
         self.output_mode = config.get('output_mode', 'logits')
-        if self.output_mode not in ('logits', 'prob', 'label'):
+        if self.output_mode not in ('logits', 'prob', 'label',
+                                    'packed_label'):
             raise ValueError('Undefined output_mode {0}'.format(
                 self.output_mode))
+        self.packed = self.output_mode == 'packed_label'
+        if self.packed and config.get('class_num', 2) > 2:
+            # bit-packing needs binary labels; fall back transparently
+            self.output_mode = 'label'
+            self.packed = False
         # mixed precision: 'bfloat16' casts the volume (and hence all patch
         # activations) to bf16 — callers cast the params via
         # utils/precision.cast_infer_variables; accumulation/TTA averaging
@@ -360,6 +445,9 @@ class Inferer:
         vol = jnp.asarray(np.moveaxis(image[0], 0, -1))   # [*img, C]
         if self.compute_dtype is not None:
             vol = vol.astype(self.compute_dtype)
+        # packed mode computes plain labels on device and bit-packs after
+        # the margin crop (packing must see the final voxel set)
+        device_mode = 'label' if self.packed else self.output_mode
         img_shape = vol.shape[:-1]
         dim = len(img_shape)
 
@@ -385,7 +473,7 @@ class Inferer:
                 vol = jnp.pad(vol, [(0, p) for p in pads] + [(0, 0)],
                               mode='reflect')
             outs = _whole_volume_jit(predictor, ctx, vol, tta)
-            outs = [_finalize(o, self.output_mode) for o in outs]
+            outs = [_finalize(o, device_mode) for o in outs]
             if any(pads):
                 scale_crops = []
                 for o in outs:
@@ -462,16 +550,21 @@ class Inferer:
                     jax.device_put(vol, repl),
                     jax.device_put(jnp.asarray(starts), grid),
                     jax.device_put(jnp.asarray(weights), grid),
-                    tuple(window), chunk, tta, self.output_mode, self.mesh,
+                    tuple(window), chunk, tta, device_mode, self.mesh,
                     pads_arr)
             else:
                 pads_arr = None if pads is None else jnp.asarray(
                     pads, jnp.int32)
+                # straight-line (in-place) accumulation when the total
+                # update count is small; large grids keep the scan-carried
+                # accumulators (bounded program size)
+                unroll = target * (4 if tta else 1) <= 256
                 outs = _sliding_window_full(predictor, ctx, vol,
                                             jnp.asarray(starts),
                                             jnp.asarray(weights),
                                             tuple(window), chunk, tta,
-                                            self.output_mode, pads_arr)
+                                            device_mode, pads_arr,
+                                            unroll)
             if pads is not None and any(pads):
                 cropped = []
                 for o in outs:
@@ -480,6 +573,10 @@ class Inferer:
                         slice(0, int(true_shape[d] * ratios[d]))
                         for d in range(dim))])
                 outs = cropped
+        pack_shapes = None
+        if self.packed:
+            pack_shapes = [tuple(o.shape) for o in outs]
+            outs = [_packbits_jit(o) for o in outs]
         for o in outs:    # start D2H now so fetch() overlaps with later work
             try:
                 o.copy_to_host_async()
@@ -488,8 +585,14 @@ class Inferer:
 
         def fetch():
             # back to the host contract [1, K, *img] (list for multi-scale
-            # nets); label mode returns [1, *img] uint8 maps
-            if self.output_mode == 'label':
+            # nets); label/packed_label modes return [1, *img] uint8 maps
+            if self.packed:
+                results = [
+                    np.unpackbits(np.asarray(o),
+                                  count=int(np.prod(shp))).astype(
+                        np.uint8).reshape(shp)[None]
+                    for o, shp in zip(outs, pack_shapes)]
+            elif self.output_mode == 'label':
                 results = [np.asarray(o)[None] for o in outs]
             else:
                 results = [np.moveaxis(np.asarray(o), -1, 0)[None]

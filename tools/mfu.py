@@ -165,13 +165,13 @@ def main():
     batches = (batch(), batch())
     rng = jax.random.PRNGKey(0)
     train_flops = flops_of(step.lower(state, batches, rng))
-    state, _ = step(state, batches, rng)
-    jax.block_until_ready(state.params)
-    n_rep = 10
+    state, metrics = step(state, batches, rng)
+    float(metrics['loss'])   # value fetch: block_until_ready can lie on
+    n_rep = 10               # the tunneled backend; a host read cannot
     t0 = time.time()
     for i in range(n_rep):
-        state, _ = step(state, batches, jax.random.fold_in(rng, i))
-    jax.block_until_ready(state.params)
+        state, metrics = step(state, batches, jax.random.fold_in(rng, i))
+    float(metrics['loss'])
     train_sec = (time.time() - t0) / n_rep
 
     report = {

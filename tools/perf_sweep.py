@@ -183,14 +183,14 @@ def main():
                 batches = (batch(), batch())
                 rng = jax.random.PRNGKey(0)
                 t0 = time.time()
-                state, _ = step(state, batches, rng)
-                jax.block_until_ready(state.params)
+                state, metrics = step(state, batches, rng)
+                float(metrics['loss'])   # true sync (value fetch)
                 comp = time.time() - t0
                 t0 = time.time()
                 for i in range(10):
-                    state, _ = step(state, batches,
-                                    jax.random.fold_in(rng, i))
-                jax.block_until_ready(state.params)
+                    state, metrics = step(state, batches,
+                                          jax.random.fold_in(rng, i))
+                float(metrics['loss'])
                 emit({'kind': 'train', 'precision': precision,
                       'sec_per_step': round((time.time() - t0) / 10, 4),
                       'compile_s': round(comp, 1)})
