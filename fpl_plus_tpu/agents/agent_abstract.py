@@ -149,6 +149,11 @@ class NetRunAgent(ABC):
             bn_valid = data_cfg.get('valid_batch_size', 1)
             num_worker = data_cfg.get('num_workder',
                                       data_cfg.get('num_worker', 8))
+            # more workers than spare cores is a measured slowdown (IPC
+            # overhead with zero parallelism) — recipes written for beefy
+            # hosts (reference uses 16-32) run unchanged on small ones
+            import os as _os
+            num_worker = min(num_worker, max((_os.cpu_count() or 1) - 1, 0))
             domains = range(1, self.num_domains + 1)
             for d in domains:
                 train_set = self.get_stage_dataset_from_config(
