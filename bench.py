@@ -151,22 +151,21 @@ def bench_e2e_test_stage(module, variables) -> float:
         out = module.apply(ctx[0], x, ctx[1], False)
         return out[0] if isinstance(out, (tuple, list)) else out
 
+    from fpl_plus_tpu.io.loader import prefetch_iter
+
     inferer = Inferer(test_cfg, patch_chunk=2)
     ctx = (variables, jnp.int32(1))
     have_ref = os.path.exists(REFERENCE_VOLUME)
     tmpdir = tempfile.mkdtemp(prefix='fplx_bench_')
 
-    def one_volume(i, pending):
+    def decode(i):
         if have_ref:
             img = load_image_as_nd_array(REFERENCE_VOLUME)['data_array']
         else:
             img = np.random.RandomState(i).normal(
                 size=(1, 40, 160, 272)).astype(np.float32)
-        img = ((img - img.mean()) / (img.std() + 1e-6))[None]
-        fetch = inferer.run_async(predictor, ctx, img.astype(np.float32))
-        if pending is not None:
-            _finish(pending)
-        return fetch
+        return (((img - img.mean()) / (img.std() + 1e-6))[None]
+                .astype(np.float32))
 
     def _finish(entry):
         fetch, i = entry
@@ -175,12 +174,15 @@ def bench_e2e_test_stage(module, variables) -> float:
             label, os.path.join(tmpdir, 'pred_{0}.nii.gz'.format(i)),
             REFERENCE_VOLUME if have_ref else None)
 
-    _finish((one_volume(0, None), 0))         # warmup / compile
+    _finish((inferer.run_async(predictor, ctx, decode(0)), 0))   # warm
     n_rep = 6
     t0 = time.time()
     pending = None
-    for i in range(n_rep):
-        fetch = one_volume(i, None)
+    # decode-ahead thread + depth-1 finish pipeline, like the agent's test
+    # stage: volume i+1 decodes while i computes on device and i-1 saves
+    for i, img in enumerate(prefetch_iter(
+            (decode(i) for i in range(n_rep)), depth=2)):
+        fetch = inferer.run_async(predictor, ctx, img)
         if pending is not None:
             _finish(pending)
         pending = (fetch, i)

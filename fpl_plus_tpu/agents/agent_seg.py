@@ -34,7 +34,7 @@ from fpl_plus_tpu.engine.optim import PlateauScheduler, create_optimizer
 from fpl_plus_tpu.engine.train import (TrainState, create_train_state,
                                        make_train_step)
 from fpl_plus_tpu.io.image_io import save_nd_array_as_image
-from fpl_plus_tpu.io.loader import repeat_loader
+from fpl_plus_tpu.io.loader import prefetch_iter, repeat_loader
 from fpl_plus_tpu.losses import SegLossDict, create_loss_calculator
 from fpl_plus_tpu.losses.util import get_classwise_dice
 from fpl_plus_tpu.models.registry import (create_network, init_network,
@@ -682,7 +682,9 @@ class SegmentationAgent(NetRunAgent):
             infer_times.append(time.time() - p_t0)
             self.save_outputs(p_data)
 
-        for batch_data in self.test_loader:
+        # decode-ahead: the loader's NIfTI decode + transform chain for
+        # volume i+1 runs in a thread while volume i occupies the device
+        for batch_data in prefetch_iter(self.test_loader):
             # the Inferer processes one volume at a time; split batched
             # test loaders (test_batch_size > 1) into per-volume samples
             for data in _split_batch(batch_data):
@@ -759,7 +761,7 @@ class SegmentationAgent(NetRunAgent):
                  'batch_stats': loaded['state']['batch_stats']},
                 self.infer_precision))
         infer_times = []
-        for batch_data in self.test_loader:
+        for batch_data in prefetch_iter(self.test_loader):
           for data in _split_batch(batch_data):
             images = np.asarray(data['image'], np.float32)
             t0 = time.time()

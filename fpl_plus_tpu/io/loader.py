@@ -252,3 +252,34 @@ def repeat_loader(loader) -> Iterator:
         while True:
             for batch in loader:
                 yield batch
+
+
+def prefetch_iter(iterable, depth: int = 2):
+    """Thread-backed look-ahead over any iterable: item i+1's production
+    (NIfTI decode, transform chain — gzip/numpy release the GIL) overlaps
+    the consumer's work on item i. Used by the agent's test stage so host
+    decode hides under device inference; errors re-raise at the consumer."""
+    import queue as _queue
+    import threading as _threading
+
+    q: '_queue.Queue' = _queue.Queue(maxsize=max(depth, 1))
+    sentinel = object()
+    failure = []
+
+    def _producer():
+        try:
+            for item in iterable:
+                q.put(item)
+        except BaseException as exc:   # surface to the consumer
+            failure.append(exc)
+        q.put(sentinel)
+
+    thread = _threading.Thread(target=_producer, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if failure:
+                raise failure[0]
+            return
+        yield item
