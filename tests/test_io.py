@@ -120,3 +120,19 @@ def test_volume_cache_lru_and_isolation(fixture_dir, tmp_path):
     small.load(str(fixture_dir / 'lab.nii.gz'))
     assert small.used <= small.max_bytes
     assert len(small.store) >= 1
+
+
+def test_prefetch_iter_order_and_errors():
+    from fpl_plus_tpu.io.loader import prefetch_iter
+
+    assert list(prefetch_iter(range(7), depth=2)) == list(range(7))
+
+    def boom():
+        yield 1
+        raise RuntimeError('decode failed')
+
+    it = prefetch_iter(boom(), depth=1)
+    assert next(it) == 1
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match='decode failed'):
+        list(it)
