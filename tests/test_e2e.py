@@ -213,3 +213,34 @@ def test_training_determinism(e2e_workspace):
                 if rec['tag'] == 'loss':
                     losses.append(rec['train'])
     assert losses[0] == losses[1], losses
+
+
+def test_cli_bf16_fused_pipeline(e2e_workspace):
+    """The performance switches ([training]/[testing] precision=bfloat16,
+    [network] pallas_fused, [dataset] cache_gb) through the real CLI:
+    train -> auto-test -> eval must produce the full artifact set."""
+    from fpl_plus_tpu.cli import main
+    cfg = open(_write_cfg(e2e_workspace)).read()
+    cfg = cfg.replace('[network]', '[network]\npallas_fused = True')
+    cfg = cfg.replace('[training]',
+                      '[training]\nprecision = bfloat16')
+    cfg = cfg.replace('[testing]', '[testing]\nprecision = bfloat16')
+    cfg = cfg.replace('model/run1', 'model/run_bf16')
+    path = e2e_workspace / 'exp_bf16.cfg'
+    path.write_text(cfg)
+    rc = main(['train', str(path)])
+    assert rc == 0
+    ckpt_dir = e2e_workspace / 'model' / 'run_bf16'
+    assert (ckpt_dir / 'run_bf16_best.txt').exists()
+    out_dir = e2e_workspace / 'result' / 'run_bf16_test'
+    assert (out_dir / 'case1.nii.gz').exists()
+    assert (out_dir / 'test_tumor_dice_all.csv').exists()
+    # checkpoints stay f32 regardless of compute precision
+    import numpy as np
+    from flax import serialization
+    best_it = (ckpt_dir / 'run_bf16_best.txt').read_text().strip()
+    raw = (ckpt_dir / 'run_bf16_{0}.ckpt'.format(best_it)).read_bytes()
+    payload = serialization.msgpack_restore(raw)
+    import jax
+    leaves = jax.tree_util.tree_leaves(payload['state']['params'])
+    assert leaves and all(a.dtype == np.float32 for a in leaves)

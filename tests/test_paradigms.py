@@ -288,3 +288,21 @@ def test_ema_teacher_persists_across_resume(tmp_path, rng):
     # and the restored teacher differs from a fresh student copy
     fresh_leaf = jax.tree_util.tree_leaves(state2.extra)[0]
     assert not np.allclose(np.asarray(loaded_leaf), np.asarray(fresh_leaf))
+
+
+def test_ssl_step_bf16_precision(rng):
+    """[training] precision threads through the paradigm agents'
+    custom jitted steps (_train_apply_fn): bf16 compute, f32 state."""
+    from fpl_plus_tpu.agents.ssl import SSLMethodDict
+    cfg = _config('semi_supervised_learning')
+    cfg['training']['precision'] = 'bfloat16'
+    agent = SSLMethodDict['EntropyMinimization'](cfg, 'train')
+    batches = {'lab': _lab_batch(rng), 'unlab': {
+        'image': jnp.asarray(rng.normal(size=(2, 16, 16, 1)).astype(
+            np.float32))}}
+    state, metrics = _run_one_step(agent, batches)
+    assert agent.train_dtype == jnp.bfloat16
+    assert all(a.dtype == jnp.float32 for a in
+               jax.tree_util.tree_leaves(state.params))
+    assert all(a.dtype == jnp.float32 for a in
+               jax.tree_util.tree_leaves(state.batch_stats))
