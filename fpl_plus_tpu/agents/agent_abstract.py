@@ -137,10 +137,20 @@ class NetRunAgent(ABC):
         cache_gb = data_cfg.get('cache_gb', 2.0)
         cache_bytes = (int(cache_gb * (1 << 30))
                        if real_stage != 'test' else 0)
+        # multi-host: each process trains on its manifest shard and feeds
+        # its local slice of the global batch; valid/test read everything
+        # (all processes execute identical eval programs)
+        host_shard = None
+        if real_stage == 'train':
+            from fpl_plus_tpu.parallel.multihost import process_info
+            pidx, pcnt = process_info()
+            if pcnt > 1:
+                host_shard = (pidx, pcnt)
         return NiftyDataset(root_dir=root_dir, csv_file=csv_file,
                             modal_num=modal_num,
                             with_label=(real_stage != 'test'),
-                            transform=transform, cache_bytes=cache_bytes)
+                            transform=transform, cache_bytes=cache_bytes,
+                            host_shard=host_shard)
 
     def create_dataset(self):
         data_cfg = self.config['dataset']
@@ -154,6 +164,17 @@ class NetRunAgent(ABC):
             # hosts (reference uses 16-32) run unchanged on small ones
             import os as _os
             num_worker = min(num_worker, max((_os.cpu_count() or 1) - 1, 0))
+            # multi-host: train_batch_size is the GLOBAL batch; each
+            # process loads its 1/P slice and the agent assembles the
+            # global array (make_array_from_process_local_data)
+            from fpl_plus_tpu.parallel.multihost import process_info
+            _pidx, _pcnt = process_info()
+            if _pcnt > 1:
+                if bn_train % _pcnt:
+                    raise ValueError(
+                        'train_batch_size {0} must divide across {1} '
+                        'hosts'.format(bn_train, _pcnt))
+                bn_train //= _pcnt
             domains = range(1, self.num_domains + 1)
             for d in domains:
                 train_set = self.get_stage_dataset_from_config(

@@ -129,7 +129,13 @@ class ClassificationAgent(NetRunAgent):
                                   opt_state=loaded['state']['opt_state'])
             logging.info('resumed from %s', path)
         loss_calc = self._loss_calculator()
-        apply_fn = self.module.apply
+        # [training] precision = bfloat16: bf16 compute, f32 master state
+        # (utils/precision.py) — same policy as the segmentation agents
+        from fpl_plus_tpu.utils.precision import cast_apply_fn, resolve_dtype
+        apply_fn = cast_apply_fn(
+            self.module.apply,
+            resolve_dtype(self.config['training'].get('precision',
+                                                      'float32')))
 
         @jax.jit
         def train_step(state, batch, rng):
@@ -241,7 +247,13 @@ class ClassificationAgent(NetRunAgent):
         loaded = ckpt_lib.load_checkpoint(ckpt_name, template)
         params = loaded['state']['params']
         batch_stats = loaded['state']['batch_stats']
-        apply_fn = self.module.apply
+        # [testing] precision = bfloat16: params/input cast inside the
+        # jitted forward, f32 logits out (utils/precision.py)
+        from fpl_plus_tpu.utils.precision import cast_apply_fn, resolve_dtype
+        apply_fn = cast_apply_fn(
+            self.module.apply,
+            resolve_dtype(self.config.get('testing', {}).get(
+                'precision', 'float32')))
 
         @jax.jit
         def fwd(x):

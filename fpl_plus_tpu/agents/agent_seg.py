@@ -47,6 +47,10 @@ from fpl_plus_tpu.utils.scalar_writer import ScalarWriter
 def to_channels_last(x: np.ndarray, sharding=None) -> jnp.ndarray:
     arr = np.moveaxis(np.asarray(x), 1, -1)
     if sharding is not None:   # place batch-sharded across the mesh now so
+        if not sharding.is_fully_addressable:
+            # multi-host mesh: this process holds its local slice of the
+            # global batch (the loaders are manifest-sharded per host)
+            return jax.make_array_from_process_local_data(sharding, arr)
         return jax.device_put(arr, sharding)   # H2D overlaps from prefetch
     return jnp.asarray(arr)
 
@@ -158,9 +162,13 @@ class SegmentationAgent(NetRunAgent):
             batch['pixel_weight'] = to_channels_last(data['pixel_weight'], sh)
             if data.get('image_weight', None) is not None:
                 w = np.asarray(data['image_weight'], np.float32)
-                batch['image_weight'] = (jax.device_put(w, sh)
-                                         if sh is not None else
-                                         jnp.asarray(w))
+                if sh is not None and not sh.is_fully_addressable:
+                    batch['image_weight'] = \
+                        jax.make_array_from_process_local_data(sh, w)
+                elif sh is not None:
+                    batch['image_weight'] = jax.device_put(w, sh)
+                else:
+                    batch['image_weight'] = jnp.asarray(w)
         return batch
 
     # -- paradigm hooks (overridden by ssl/wsl/nll agents) ------------------

@@ -70,6 +70,10 @@ def main(argv=None):
             cfg_file))
     config = parse_config(cfg_file)
     config = synchronize_config(config)
+    # multi-host first: jax.distributed must initialize before any
+    # backend use ([training] multihost / FPLX_COORDINATOR env)
+    from fpl_plus_tpu.parallel.multihost import maybe_initialize_distributed
+    maybe_initialize_distributed(config)
     _enable_compilation_cache()
     from fpl_plus_tpu.utils.precision import apply_matmul_precision
     apply_matmul_precision(config)
@@ -108,6 +112,8 @@ def _paradigm_main(argv, section, method_key, registry_getter, usage):
     stage, cfg_file = argv[0], argv[1]
     config = parse_config(cfg_file)
     config = synchronize_config(config)
+    from fpl_plus_tpu.parallel.multihost import maybe_initialize_distributed
+    maybe_initialize_distributed(config)
     _enable_compilation_cache()
     from fpl_plus_tpu.utils.precision import apply_matmul_precision
     apply_matmul_precision(config)

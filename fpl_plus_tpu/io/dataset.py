@@ -72,9 +72,16 @@ class _VolumeCache:
 class NiftyDataset:
     def __init__(self, root_dir: str, csv_file: str, modal_num: int = 1,
                  with_label: bool = False, transform=None,
-                 cache_bytes: int = 0):
+                 cache_bytes: int = 0, host_shard=None):
         self.root_dir = root_dir
         self.csv_items = pd.read_csv(csv_file)
+        if host_shard is not None:
+            # multi-host training: this process reads its row-strided
+            # manifest shard (parallel/multihost.shard_manifest_rows)
+            from fpl_plus_tpu.parallel.multihost import shard_manifest_rows
+            idx = shard_manifest_rows(len(self.csv_items), host_shard[0],
+                                      host_shard[1])
+            self.csv_items = self.csv_items.iloc[idx].reset_index(drop=True)
         self.modal_num = modal_num
         self.with_label = with_label
         self.transform = transform
