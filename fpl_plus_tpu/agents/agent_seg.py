@@ -673,6 +673,11 @@ class SegmentationAgent(NetRunAgent):
         infer_times = []
         uncertainty_list = {}
         rng = jax.random.PRNGKey(self.random_seed)
+        # [testing] profile_dir: JAX profiler trace of the whole test
+        # stage (SURVEY.md section 5.1 — first-class profiling)
+        profile_dir = cfg_test.get('profile_dir', None)
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
 
         # one-deep inference pipeline: volume i's device->host transfer,
         # inverse transforms and NIfTI encode overlap volume i+1's device
@@ -741,6 +746,8 @@ class SegmentationAgent(NetRunAgent):
                     pending = (fetch, data, t0)
         if pending is not None:
             _finish(pending)
+        if profile_dir:
+            jax.profiler.stop_trace()
         if fpl:
             pairs = sorted(zip(uncertainty_list.values(),
                                uncertainty_list.keys()))
