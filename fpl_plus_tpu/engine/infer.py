@@ -327,12 +327,13 @@ def _sliding_window_full(predictor, ctx, vol: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=('predictor', 'window', 'chunk', 'tta',
-                                   'output_mode', 'mesh'))
+                                   'output_mode', 'mesh', 'unroll_accum'))
 def _sliding_window_full_sharded(predictor, ctx, vol: jnp.ndarray,
                                  starts: jnp.ndarray, weights: jnp.ndarray,
                                  window: Tuple[int, ...], chunk: int,
                                  tta: bool, output_mode: str, mesh,
-                                 pads: Optional[jnp.ndarray] = None):
+                                 pads: Optional[jnp.ndarray] = None,
+                                 unroll_accum: bool = False):
     """Multi-device variant of ``_sliding_window_full``: the patch-start
     grid is sharded across the mesh with ``shard_map`` (spatial parallelism,
     SURVEY.md section 5.7) — every device accumulates its windows into a
@@ -352,7 +353,7 @@ def _sliding_window_full_sharded(predictor, ctx, vol: jnp.ndarray,
     def local(ctx_l, volume_v, starts_l, weights_l, pads_l):
         outs, cnts = _sliding_window_jit(predictor, ctx_l, volume_v,
                                          starts_l, weights_l, window, chunk,
-                                         pads_l)
+                                         pads_l, unroll_accum)
         outs = [jax.lax.psum(o, axis) for o in outs]
         cnts = [jax.lax.psum(c, axis) for c in cnts]
         return outs, cnts
@@ -545,13 +546,16 @@ class Inferer:
                 grid = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
                 pads_arr = None if pads is None else jax.device_put(
                     jnp.asarray(pads, jnp.int32), repl)
+                # straight-line accumulation when each device's local
+                # update count is small (same rule as single-device)
+                unroll = (target // n_dev) * (4 if tta else 1) <= 256
                 outs = _sliding_window_full_sharded(
                     predictor, jax.device_put(ctx, repl),
                     jax.device_put(vol, repl),
                     jax.device_put(jnp.asarray(starts), grid),
                     jax.device_put(jnp.asarray(weights), grid),
                     tuple(window), chunk, tta, device_mode, self.mesh,
-                    pads_arr)
+                    pads_arr, unroll)
             else:
                 pads_arr = None if pads is None else jnp.asarray(
                     pads, jnp.int32)
