@@ -118,6 +118,11 @@ class NetRunAgent(ABC):
             self.transform_list = transform_list
         return Compose(transform_list)
 
+    def _effective_workers(self, data_cfg) -> int:
+        import os as _os
+        n = data_cfg.get('num_workder', data_cfg.get('num_worker', 8))
+        return min(n, max((_os.cpu_count() or 1) - 1, 0))
+
     def get_stage_dataset_from_config(self, stage: str):
         assert stage in ('1_train', '1_valid', '1_test',
                          '2_train', '2_valid', '2_test', 'test')
@@ -137,6 +142,10 @@ class NetRunAgent(ABC):
         cache_gb = data_cfg.get('cache_gb', 2.0)
         cache_bytes = (int(cache_gb * (1 << 30))
                        if real_stage != 'test' else 0)
+        # worker processes each carry their own cache copy — split the
+        # budget so aggregate host RSS stays ~cache_gb per dataset
+        if real_stage == 'train':
+            cache_bytes //= max(self._effective_workers(data_cfg), 1)
         # multi-host: each process trains on its manifest shard and feeds
         # its local slice of the global batch; valid/test read everything
         # (all processes execute identical eval programs)
@@ -157,13 +166,10 @@ class NetRunAgent(ABC):
         if self.stage == 'train':
             bn_train = data_cfg['train_batch_size']
             bn_valid = data_cfg.get('valid_batch_size', 1)
-            num_worker = data_cfg.get('num_workder',
-                                      data_cfg.get('num_worker', 8))
             # more workers than spare cores is a measured slowdown (IPC
             # overhead with zero parallelism) — recipes written for beefy
             # hosts (reference uses 16-32) run unchanged on small ones
-            import os as _os
-            num_worker = min(num_worker, max((_os.cpu_count() or 1) - 1, 0))
+            num_worker = self._effective_workers(data_cfg)
             # multi-host: train_batch_size is the GLOBAL batch; each
             # process loads its 1/P slice and the agent assembles the
             # global array (make_array_from_process_local_data)

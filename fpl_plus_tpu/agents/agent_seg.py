@@ -679,82 +679,86 @@ class SegmentationAgent(NetRunAgent):
         if profile_dir:
             jax.profiler.start_trace(profile_dir)
 
-        # one-deep inference pipeline: volume i's device->host transfer,
-        # inverse transforms and NIfTI encode overlap volume i+1's device
-        # compute (run_async). On a transfer-bound link this roughly
-        # halves test-stage wall time with identical outputs.
-        pending = None    # (fetch, data, t0)
+        try:
+            # one-deep inference pipeline: volume i's device->host transfer,
+            # inverse transforms and NIfTI encode overlap volume i+1's device
+            # compute (run_async). On a transfer-bound link this roughly
+            # halves test-stage wall time with identical outputs.
+            pending = None    # (fetch, data, t0)
 
-        def _finish(entry):
-            fetch, p_data, p_t0 = entry
-            p_data['predict'] = fetch()
-            for transform in self.transform_list[::-1]:
-                if transform.inverse:
-                    p_data = transform.inverse_transform_for_prediction(
-                        p_data)
-            infer_times.append(time.time() - p_t0)
-            self.save_outputs(p_data)
+            def _finish(entry):
+                fetch, p_data, p_t0 = entry
+                p_data['predict'] = fetch()
+                for transform in self.transform_list[::-1]:
+                    if transform.inverse:
+                        p_data = transform.inverse_transform_for_prediction(
+                            p_data)
+                infer_times.append(time.time() - p_t0)
+                self.save_outputs(p_data)
 
-        # decode-ahead: the loader's NIfTI decode + transform chain for
-        # volume i+1 runs in a thread while volume i occupies the device
-        for batch_data in prefetch_iter(self.test_loader):
-            # the Inferer processes one volume at a time; split batched
-            # test loaders (test_batch_size > 1) into per-volume samples
-            for data in _split_batch(batch_data):
-                images = np.asarray(data['image'], np.float32)
-                t0 = time.time()
-                if fpl:
-                    rng, *subs = jax.random.split(rng, 7)
-                    preds = self.inferer.run_mc(
-                        self._patch_forward,
-                        lambda r: (variables, jnp.int32(domain_label), r),
-                        images, subs)
-                    maps = []
-                    for pred in preds:
-                        d2 = dict(data)
-                        d2['predict'] = pred
-                        for transform in self.transform_list[::-1]:
-                            if transform.inverse:
-                                d2 = transform.\
-                                    inverse_transform_for_prediction(d2)
-                        maps.append(scipy.special.softmax(
-                            np.asarray(d2['predict']), axis=1))
-                    maps = np.concatenate(maps, axis=0)   # [6, K, *img]
-                    name = data['names'][0]
-                    if isinstance(name, (list, tuple)):
-                        name = name[0]
-                    # image-level uncertainty (reference :921-929)
-                    vars_ = maps.var(axis=0).sum()
-                    means = np.mean(maps[:, 1], axis=0)
-                    uncertainty = -1.0 * (means * np.log(means + 1e-6))
-                    boundary = np.where(uncertainty > 0.01, 1, 0).sum()
-                    uncer_one = 1 if boundary < 50 else vars_ / boundary
-                    uncertainty_list[name] = [uncer_one]
-                    logging.info('%s %s', name, uncer_one)
-                else:
-                    # reference agent_seg.py:845-852: test_time_dropout
-                    # switches Dropout layers to train mode for plain
-                    # inference too
-                    rng_td = None
-                    if tt_dropout:
-                        rng, rng_td = jax.random.split(rng)
-                    fetch = self.inferer.run_async(
-                        self._patch_forward,
-                        (variables, jnp.int32(domain_label), rng_td), images)
-                    if pending is not None:
-                        _finish(pending)
-                    pending = (fetch, data, t0)
-        if pending is not None:
-            _finish(pending)
-        if profile_dir:
-            jax.profiler.stop_trace()
+            # decode-ahead: the loader's NIfTI decode + transform chain for
+            # volume i+1 runs in a thread while volume i occupies the device
+            for batch_data in prefetch_iter(self.test_loader):
+                # the Inferer processes one volume at a time; split batched
+                # test loaders (test_batch_size > 1) into per-volume samples
+                for data in _split_batch(batch_data):
+                    images = np.asarray(data['image'], np.float32)
+                    t0 = time.time()
+                    if fpl:
+                        rng, *subs = jax.random.split(rng, 7)
+                        preds = self.inferer.run_mc(
+                            self._patch_forward,
+                            lambda r: (variables, jnp.int32(domain_label), r),
+                            images, subs)
+                        maps = []
+                        for pred in preds:
+                            d2 = dict(data)
+                            d2['predict'] = pred
+                            for transform in self.transform_list[::-1]:
+                                if transform.inverse:
+                                    d2 = transform.\
+                                        inverse_transform_for_prediction(d2)
+                            maps.append(scipy.special.softmax(
+                                np.asarray(d2['predict']), axis=1))
+                        maps = np.concatenate(maps, axis=0)   # [6, K, *img]
+                        name = data['names'][0]
+                        if isinstance(name, (list, tuple)):
+                            name = name[0]
+                        # image-level uncertainty (reference :921-929)
+                        vars_ = maps.var(axis=0).sum()
+                        means = np.mean(maps[:, 1], axis=0)
+                        uncertainty = -1.0 * (means * np.log(means + 1e-6))
+                        boundary = np.where(uncertainty > 0.01, 1, 0).sum()
+                        uncer_one = 1 if boundary < 50 else vars_ / boundary
+                        uncertainty_list[name] = [uncer_one]
+                        logging.info('%s %s', name, uncer_one)
+                    else:
+                        # reference agent_seg.py:845-852: test_time_dropout
+                        # switches Dropout layers to train mode for plain
+                        # inference too
+                        rng_td = None
+                        if tt_dropout:
+                            rng, rng_td = jax.random.split(rng)
+                        fetch = self.inferer.run_async(
+                            self._patch_forward,
+                            (variables, jnp.int32(domain_label), rng_td), images)
+                        if pending is not None:
+                            _finish(pending)
+                        pending = (fetch, data, t0)
+            if pending is not None:
+                _finish(pending)
+        finally:
+            if profile_dir:
+                jax.profiler.stop_trace()
         if fpl:
+            from fpl_plus_tpu.parallel.multihost import is_primary_host
             pairs = sorted(zip(uncertainty_list.values(),
                                uncertainty_list.keys()))
-            np.save(cfg_test['fpl_uncertainty_sorted'],
-                    np.asarray(pairs, dtype=object))
-            logging.info('FPL uncertainty list saved (%d volumes)',
-                         len(pairs))
+            if is_primary_host():   # computed everywhere, written once
+                np.save(cfg_test['fpl_uncertainty_sorted'],
+                        np.asarray(pairs, dtype=object))
+                logging.info('FPL uncertainty list saved (%d volumes)',
+                             len(pairs))
         if infer_times:
             arr = np.asarray(infer_times)
             logging.info('testing time %s +/- %s', arr.mean(), arr.std())
@@ -800,7 +804,11 @@ class SegmentationAgent(NetRunAgent):
     def save_outputs(self, data: Dict):
         """Softmax -> argmax -> label convert -> postprocess -> save NIfTI
         with metadata from the source image (reference :1022-1083), into
-        ``output_dir/(ckpt_dir + '_' + test_csv_stem)``."""
+        ``output_dir/(ckpt_dir + '_' + test_csv_stem)``. Multi-host: all
+        processes compute (identical programs), only process 0 writes."""
+        from fpl_plus_tpu.parallel.multihost import is_primary_host
+        if not is_primary_host():
+            return
         cfg_test = self.config['testing']
         output_dir = cfg_test['output_dir']
         ignore_dir = cfg_test.get('filename_ignore_dir', True)

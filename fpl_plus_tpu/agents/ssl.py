@@ -79,10 +79,11 @@ class SSLSegAgent(SegmentationAgent):
             self.train_loader_unlab.shutdown()
 
     def next_train_batches(self, train_iters):
+        from fpl_plus_tpu.agents.agent_seg import to_channels_last
         lab = self._batch_to_device(next(train_iters[0]))
         unlab_data = next(self._unlab_iter)
-        unlab = {'image': jnp.asarray(
-            np.moveaxis(np.asarray(unlab_data['image']), 1, -1))}
+        unlab = {'image': to_channels_last(unlab_data['image'],
+                                           self._batch_sharding())}
         return {'lab': lab, 'unlab': unlab}
 
     def training_hyper(self, glob_it):

@@ -44,12 +44,14 @@ class WSLSegAgent(SegmentationAgent):
         return {'regular_w': cfg.get('regularize_w', 0.1) * ratio}
 
     def _batch_to_device(self, data):
-        batch = {'image': to_channels_last(data['image']),
-                 'label_prob': to_channels_last(data['label_prob'])}
+        sh = self._batch_sharding()   # mesh-aware placement like the base
+        batch = {'image': to_channels_last(data['image'], sh),
+                 'label_prob': to_channels_last(data['label_prob'], sh)}
         # PartialLabelToProbability emits a pixel_weight marking labelled
         # voxels; the supervised loss consumes it
         if data.get('pixel_weight', None) is not None:
-            batch['pixel_weight'] = to_channels_last(data['pixel_weight'])
+            batch['pixel_weight'] = to_channels_last(data['pixel_weight'],
+                                                     sh)
         return batch
 
     def _apply_train(self, params, batch_stats, x, rng):

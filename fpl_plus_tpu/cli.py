@@ -76,7 +76,7 @@ def main(argv=None):
     maybe_initialize_distributed(config)
     _enable_compilation_cache()
     from fpl_plus_tpu.utils.precision import apply_matmul_precision
-    apply_matmul_precision(config)
+    apply_matmul_precision(config, stage)
     log_dir = config['training']['ckpt_save_dir']
     os.makedirs(log_dir, exist_ok=True)
     _setup_logging('{0}/log_{1}.txt'.format(log_dir, stage))
@@ -99,8 +99,10 @@ def main(argv=None):
         agent2.variables = agent.variables
         agent2.run()
         if 'evaluation' in config:
-            from fpl_plus_tpu.metrics.evaluate import eva_main
-            eva_main(config)
+            from fpl_plus_tpu.parallel.multihost import is_primary_host
+            if is_primary_host():   # shared-storage CSVs: one writer
+                from fpl_plus_tpu.metrics.evaluate import eva_main
+                eva_main(config)
     return 0
 
 
@@ -116,7 +118,7 @@ def _paradigm_main(argv, section, method_key, registry_getter, usage):
     maybe_initialize_distributed(config)
     _enable_compilation_cache()
     from fpl_plus_tpu.utils.precision import apply_matmul_precision
-    apply_matmul_precision(config)
+    apply_matmul_precision(config, stage)
     log_dir = config['training']['ckpt_save_dir']
     os.makedirs(log_dir, exist_ok=True)
     _setup_logging('{0}/log_{1}.txt'.format(log_dir, stage))

@@ -34,10 +34,13 @@ def _to_host(tree):
 def save_checkpoint(ckpt_dir: str, prefix: str, iteration: int,
                     state: Dict[str, Any], valid_pred: float,
                     update_latest: bool = True) -> str:
+    name = '{0}/{1}_{2}.ckpt'.format(ckpt_dir, prefix, iteration)
+    from fpl_plus_tpu.parallel.multihost import is_primary_host
+    if not is_primary_host():   # multi-host: only process 0 writes
+        return name
     os.makedirs(ckpt_dir, exist_ok=True)
     payload = {'iteration': iteration, 'valid_pred': float(valid_pred),
                'state': _to_host(state)}
-    name = '{0}/{1}_{2}.ckpt'.format(ckpt_dir, prefix, iteration)
     with open(name, 'wb') as f:
         f.write(serialization.to_bytes(payload))
     if update_latest:
@@ -47,6 +50,9 @@ def save_checkpoint(ckpt_dir: str, prefix: str, iteration: int,
 
 
 def write_best_pointer(ckpt_dir: str, prefix: str, iteration: int) -> None:
+    from fpl_plus_tpu.parallel.multihost import is_primary_host
+    if not is_primary_host():   # multi-host: only process 0 writes
+        return
     with open('{0}/{1}_best.txt'.format(ckpt_dir, prefix), 'w') as f:
         f.write(str(iteration))
 

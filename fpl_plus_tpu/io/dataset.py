@@ -81,6 +81,12 @@ class NiftyDataset:
             from fpl_plus_tpu.parallel.multihost import shard_manifest_rows
             idx = shard_manifest_rows(len(self.csv_items), host_shard[0],
                                       host_shard[1])
+            if not idx:
+                raise ValueError(
+                    'manifest {0} has fewer rows than the {1} hosts — '
+                    'process {2} would starve (and the endless sampler '
+                    'would spin forever)'.format(csv_file, host_shard[1],
+                                                 host_shard[0]))
             self.csv_items = self.csv_items.iloc[idx].reset_index(drop=True)
         self.modal_num = modal_num
         self.with_label = with_label

@@ -158,6 +158,9 @@ class DataLoader:
         constant batch shape also keeps XLA from retracing on short final
         batches and is required by the mesh-sharded training step."""
 
+        if len(self.dataset) == 0:
+            raise ValueError('cannot stream from an empty dataset')
+
         def index_stream():
             while True:
                 for item_idx in self._epoch_indices():
@@ -265,21 +268,42 @@ def prefetch_iter(iterable, depth: int = 2):
     q: '_queue.Queue' = _queue.Queue(maxsize=max(depth, 1))
     sentinel = object()
     failure = []
+    stop = _threading.Event()
+
+    def _put_until_stop(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except _queue.Full:
+                continue
+        return False   # consumer abandoned the generator
 
     def _producer():
         try:
             for item in iterable:
-                q.put(item)
+                if not _put_until_stop(item):
+                    return
         except BaseException as exc:   # surface to the consumer
             failure.append(exc)
-        q.put(sentinel)
+        _put_until_stop(sentinel)
 
     thread = _threading.Thread(target=_producer, daemon=True)
     thread.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if failure:
-                raise failure[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if failure:
+                    raise failure[0]
+                return
+            yield item
+    finally:
+        # consumer raised or abandoned the generator: release the producer
+        # (it may be blocked in put holding decoded volumes) and drain
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except _queue.Empty:
+            pass

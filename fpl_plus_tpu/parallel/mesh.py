@@ -63,12 +63,28 @@ def mesh_size_from_config(config: dict, stage: str = 'train') -> int:
             if isinstance(gpus, (list, tuple)) and len(gpus) > 0:
                 n = len(gpus)
                 break
+    from fpl_plus_tpu.parallel.multihost import process_info
+    _, pcnt = process_info()
+    multihost = ((config.get('training', {}) or {}).get('multihost', False)
+                 or pcnt > 1)
     if n is None:
+        if multihost:
+            # multi-host implies global data parallelism — without a mesh
+            # every process would train a divergent unsynchronized replica
+            logging.info('multihost run without mesh_devices: defaulting '
+                         'to a mesh over all %d global devices',
+                         jax.device_count())
+            return jax.device_count()
         return 1
     n = int(n)
     if n == -1:
         n = jax.device_count()
     avail = jax.device_count()
+    if pcnt > 1 and n < avail:
+        raise ValueError(
+            'multi-host runs need the mesh to span all {0} global devices '
+            '(got mesh_devices={1}); per-process sub-meshes would train '
+            'unsynchronized replicas'.format(avail, n))
     if n > avail:
         logging.warning('config requests a %d-device mesh but only %d '
                         'device(s) are visible; clamping', n, avail)
@@ -124,7 +140,9 @@ def sharded_sliding_window(predictor: Callable, window: Tuple[int, ...],
     and counter.
 
     Returns fn(ctx, volume_v, starts, weights=None)
-    -> (output [V,*img,K], counter [V,*img,1]).
+    -> (output [V,*img,K], counter [*img,1] — no pads are passed here, so
+    every variant shares one counter; the bucketed per-variant counter
+    shape exists only on the Inferer's _sliding_window_full_sharded path).
     """
     from fpl_plus_tpu.engine.infer import _sliding_window_jit
     try:

@@ -64,6 +64,13 @@ def process_info():
         return 0, 1
 
 
+def is_primary_host() -> bool:
+    """True on process 0 (and on any single-process run): shared-storage
+    writers — checkpoints, pointers, scalar logs, predictions, eval CSVs —
+    run only here so P processes never race on identical paths."""
+    return process_info()[0] == 0
+
+
 def shard_manifest_rows(n_rows: int, process_index: int,
                         process_count: int):
     """Row-strided per-host shard of a manifest: host i reads rows

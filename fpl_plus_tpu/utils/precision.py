@@ -96,11 +96,14 @@ def cast_infer_variables(variables: dict, precision) -> dict:
     return out
 
 
-def apply_matmul_precision(config: dict) -> None:
-    """Honor ``matmul_precision`` from [training]/[testing]: 'default'
-    (fastest — bf16 MXU passes for f32 operands), 'high' (3-pass bf16) or
-    'highest' (f32). Applied process-wide before compilation."""
-    for section in ('training', 'testing'):
+def apply_matmul_precision(config: dict, stage: str = 'train') -> None:
+    """Honor ``matmul_precision``: 'default' (fastest — bf16 MXU passes
+    for f32 operands), 'high' (3-pass bf16) or 'highest' (f32). Applied
+    process-wide before compilation; the section matching the running
+    stage wins ([testing] for test/inference, [training] otherwise)."""
+    order = (('testing', 'training') if stage in ('test', 'inference')
+             else ('training', 'testing'))
+    for section in order:
         val = config.get(section, {}).get('matmul_precision', None)
         if val:
             jax.config.update('jax_default_matmul_precision', str(val))

@@ -15,10 +15,16 @@ from typing import Dict
 
 class ScalarWriter:
     def __init__(self, log_dir: str):
+        # multi-host: only process 0 writes curves (shared storage)
+        from fpl_plus_tpu.parallel.multihost import is_primary_host
+        self._noop = not is_primary_host()
+        self._file = None
+        self._tb = None
+        if self._noop:
+            return
         os.makedirs(log_dir, exist_ok=True)
         self._path = os.path.join(log_dir, 'scalars.jsonl')
         self._file = open(self._path, 'a')
-        self._tb = None
         try:
             from torch.utils.tensorboard import SummaryWriter
             self._tb = SummaryWriter(log_dir)
@@ -26,6 +32,8 @@ class ScalarWriter:
             pass
 
     def add_scalars(self, tag: str, values: Dict[str, float], step: int):
+        if self._noop:
+            return
         rec = {'tag': tag, 'step': int(step), 'time': time.time()}
         rec.update({k: float(v) for k, v in values.items()})
         self._file.write(json.dumps(rec) + '\n')
@@ -37,6 +45,7 @@ class ScalarWriter:
         self.add_scalars(tag, {'value': value}, step)
 
     def close(self):
-        self._file.close()
+        if self._file is not None:
+            self._file.close()
         if self._tb is not None:
             self._tb.close()

@@ -168,6 +168,13 @@ def test_apply_matmul_precision_roundtrip():
     try:
         apply_matmul_precision({'training': {'matmul_precision': 'highest'}})
         assert str(jax.config.jax_default_matmul_precision) == 'highest'
+        # the running stage's section wins over the other one
+        cfg = {'training': {'matmul_precision': 'default'},
+               'testing': {'matmul_precision': 'highest'}}
+        apply_matmul_precision(cfg, stage='test')
+        assert str(jax.config.jax_default_matmul_precision) == 'highest'
+        apply_matmul_precision(cfg, stage='train')
+        assert str(jax.config.jax_default_matmul_precision) == 'default'
     finally:
         jax.config.update('jax_default_matmul_precision',
                           prev if prev is not None else 'default')
