@@ -93,12 +93,13 @@ def _as_list(out):
 
 
 @partial(jax.jit, static_argnames=('predictor', 'window', 'chunk',
-                                   'unroll_accum'))
+                                   'unroll_accum', 'tta_v'))
 def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
                         starts: jnp.ndarray, weights: jnp.ndarray,
                         window: Tuple[int, ...], chunk: int,
                         pads: Optional[jnp.ndarray] = None,
-                        unroll_accum: bool = False):
+                        unroll_accum: bool = False,
+                        tta_v: Optional[int] = None):
     """Core program: volume_v [V, *img, C], starts [P, dim] (P % chunk == 0),
     ``weights`` [P] scaling each window's contribution to output AND counter
     (0 for the duplicate starts that round out the last chunk — a nonzero
@@ -127,11 +128,15 @@ def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
     # mask is static; the pad amounts stay traced). Without bucketing
     # (pads=None, a STATIC distinction) the offsets vanish and the counter
     # drops its variant axis — the original cheaper accumulation.
+    # ``tta_v``: flip variants per volume group — batched serving stacks
+    # N same-shape volumes as v_num = N * tta_v leading entries (the flip
+    # offset pattern tiles per group); None = single volume (v_num <= 4)
+    tta_n = tta_v if tta_v is not None else v_num
     per_variant = pads is not None
     if per_variant:
-        flips = (_FLIPS_3D if dim == 3 else _FLIPS_2D)[:v_num]
+        flips = (_FLIPS_3D if dim == 3 else _FLIPS_2D)[:tta_n]
         mask = jnp.asarray([[1 if d in ax else 0 for d in range(dim)]
-                            for ax in flips], jnp.int32)
+                            for ax in flips] * (v_num // tta_n), jnp.int32)
         offs = mask * pads[None, :].astype(jnp.int32)
     else:
         offs = jnp.zeros((v_num, dim), jnp.int32)
@@ -327,6 +332,36 @@ def _sliding_window_full(predictor, ctx, vol: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=('predictor', 'window', 'chunk', 'tta',
+                                   'output_mode', 'unroll_accum'))
+def _sliding_window_full_batch(predictor, ctx, vols: jnp.ndarray,
+                               starts: jnp.ndarray, weights: jnp.ndarray,
+                               window: Tuple[int, ...], chunk: int,
+                               tta: bool, output_mode: str,
+                               pads: Optional[jnp.ndarray] = None,
+                               unroll_accum: bool = False):
+    """Batched serving: N same-shape volumes [N, *img, C] in ONE program
+    dispatch — the TTA variants of every volume stack into a single
+    leading axis (v_num = N x V), so the per-dispatch/link latency that
+    dominates serving on high-latency device links amortizes over the
+    batch. Outputs match per-volume ``_sliding_window_full`` exactly."""
+    n = vols.shape[0]
+    v = 4 if tta else 1
+    variants = jnp.concatenate(
+        [_make_variants(vols[i], tta) for i in range(n)], axis=0)
+    outs, cnts = _sliding_window_jit(predictor, ctx, variants, starts,
+                                     weights, window, chunk, pads,
+                                     unroll_accum, tta_v=v)
+    results = []
+    for o, c in zip(outs, cnts):
+        o = o / jnp.maximum(c if c.ndim == o.ndim else c[None], 1e-6)
+        grouped = o.reshape((n, v) + o.shape[1:])
+        merged = jnp.stack([_unflip_mean(grouped[i], tta)
+                            for i in range(n)])
+        results.append(_finalize(merged, output_mode))
+    return results
+
+
+@partial(jax.jit, static_argnames=('predictor', 'window', 'chunk', 'tta',
                                    'output_mode', 'mesh', 'unroll_accum'))
 def _sliding_window_full_sharded(predictor, ctx, vol: jnp.ndarray,
                                  starts: jnp.ndarray, weights: jnp.ndarray,
@@ -421,6 +456,50 @@ class Inferer:
         from fpl_plus_tpu.utils.precision import resolve_dtype
         self.compute_dtype = resolve_dtype(config.get('precision', 'float32'))
 
+    def _bucket_plan(self, true_shape, window, stride):
+        """Shape-bucketed window-grid plan for one volume shape: returns
+        (pads, starts, weights, chunk, target). ``pads`` is a per-dim
+        trailing-pad tuple (None when bucketing is off); ``starts`` is the
+        TRUE-shape clamped grid padded with weight-0 duplicates to a
+        bucket-constant count that divides chunk * n_devices."""
+        dim = len(true_shape)
+        bucket = self.config.get('infer_shape_bucket', 16)
+        pads = None
+        padded_shape = list(true_shape)
+        if bucket:
+            if bucket in ('auto', True):
+                padded_shape = [window[d] + stride[d] * max(
+                    -(-(true_shape[d] - window[d]) // stride[d]), 0)
+                    for d in range(dim)]
+            else:
+                b = int(bucket)
+                padded_shape = [max(-(-true_shape[d] // b) * b, window[d])
+                                for d in range(dim)]
+            # pads stays an array signature (zeros included) whenever
+            # bucketing is on, so exact-fit and padded volumes of one
+            # bucket share the same program
+            pads = tuple(padded_shape[d] - true_shape[d]
+                         for d in range(dim))
+        starts = window_grid(true_shape, window, stride)
+        n_true = len(starts)
+        chunk = min(self.patch_chunk, n_true)
+        n_dev = self.mesh.size if self.mesh is not None else 1
+        # the start COUNT is part of the compiled signature too: pad it to
+        # the padded-shape grid size (constant per bucket), then to a
+        # multiple of chunk * n_devices, with weight-0 duplicates
+        target = n_true if pads is None else len(
+            window_grid(tuple(padded_shape), window, stride))
+        target = max(target, n_true)
+        target += (-target) % (chunk * n_dev)
+        pad_n = target - n_true
+        weights = np.ones(target, np.float32)
+        if pad_n:
+            reps = -(-pad_n // n_true)
+            starts = np.concatenate(
+                [starts, np.tile(starts, (reps, 1))[:pad_n]], 0)
+            weights[n_true:] = 0.0
+        return pads, starts, weights, chunk, target
+
     def run(self, predictor: Callable, ctx, image,
             tta_override: Optional[bool] = None):
         return self.run_async(predictor, ctx, image, tta_override)()
@@ -498,44 +577,16 @@ class Inferer:
             # to window + k*stride (zero extra windows, perfect clamp
             # dedup, but up to stride-1 voxels of accumulator padding);
             # 0 disables.
-            bucket = self.config.get('infer_shape_bucket', 16)
-            true_shape = tuple(img_shape)
-            pads = None
-            if bucket:
-                if bucket in ('auto', True):
-                    padded = [window[d] + stride[d] * max(
-                        -(-(img_shape[d] - window[d]) // stride[d]), 0)
-                        for d in range(dim)]
-                else:
-                    b = int(bucket)
-                    padded = [max(-(-img_shape[d] // b) * b, window[d])
-                              for d in range(dim)]
-                # pads stays an array (zeros included) whenever bucketing is
-                # on, so exact-fit and padded volumes of one bucket share
-                # the same program signature
-                pads = tuple(padded[d] - img_shape[d] for d in range(dim))
-                if any(pads):
-                    vol = jnp.pad(vol, [(0, p) for p in pads] + [(0, 0)],
-                                  mode='edge')   # values are never read
-                    img_shape = vol.shape[:-1]
-            starts = window_grid(true_shape, window, stride)
-            n_true = len(starts)
-            chunk = min(self.patch_chunk, n_true)
+            pads, starts, weights, chunk, target = self._bucket_plan(
+                tuple(img_shape), window, stride)
+            if pads is not None and any(pads):
+                vol = jnp.pad(vol, [(0, p) for p in pads] + [(0, 0)],
+                              mode='edge')   # values are never read
+                img_shape = vol.shape[:-1]
+            true_shape = tuple(vol.shape[:-1] if pads is None else
+                               tuple(vol.shape[d] - pads[d]
+                                     for d in range(dim)))
             n_dev = self.mesh.size if self.mesh is not None else 1
-            # the start COUNT is part of the compiled signature too: pad it
-            # to the padded-shape grid size (constant per bucket), then to
-            # a multiple of chunk * n_devices, with weight-0 duplicates
-            target = n_true if pads is None else len(
-                window_grid(img_shape, window, stride))
-            target = max(target, n_true)
-            target += (-target) % (chunk * n_dev)
-            pad_n = target - n_true
-            weights = np.ones(target, np.float32)
-            if pad_n:
-                reps = -(-pad_n // n_true)
-                starts = np.concatenate(
-                    [starts, np.tile(starts, (reps, 1))[:pad_n]], 0)
-                weights[n_true:] = 0.0
             if self.mesh is not None:
                 # place inputs on the mesh: variables/volume replicated,
                 # the start grid sharded (checkpoint-loaded variables may
@@ -600,6 +651,106 @@ class Inferer:
                 results = [np.asarray(o)[None] for o in outs]
             else:
                 results = [np.moveaxis(np.asarray(o), -1, 0)[None]
+                           for o in outs]
+            return results[0] if len(results) == 1 else results
+
+        return fetch
+
+    def run_batch(self, predictor: Callable, ctx, images,
+                  tta_override: Optional[bool] = None):
+        return self.run_batch_async(predictor, ctx, images, tta_override)()
+
+    def run_batch_async(self, predictor: Callable, ctx, images,
+                        tta_override: Optional[bool] = None) -> Callable:
+        """Batched serving: N SAME-shape volumes ``[N, C, *img]`` through
+        ONE sliding-window program dispatch — the TTA variants of every
+        volume share a single leading axis, so per-dispatch/link latency
+        (the dominant serving cost on high-latency device links, measured
+        round 2) amortizes over the batch. Shape bucketing makes
+        same-shape batches the common case. Outputs are voxel-identical
+        to N ``run_async`` calls; ``fetch()`` returns one ``[N, K, *img]``
+        array per head (``[N, *img]`` uint8 in label modes).
+
+        Falls back to pipelined per-volume ``run_async`` when the batch
+        has one volume, sliding window is off, or a mesh is active."""
+        images = np.asarray(images)
+        n = images.shape[0]
+        tta_mode = self.config.get('tta_mode', 0)
+        if tta_mode not in (0, 1):
+            raise ValueError('Undefined tta_mode {0}'.format(tta_mode))
+        tta = bool(tta_mode) if tta_override is None else tta_override
+
+        img_shape = images.shape[2:]
+        dim = len(img_shape)
+        use_sw = self.config.get('sliding_window_enable', False)
+        window = list(self.config.get('sliding_window_size') or [None] * dim)
+        stride = list(self.config.get('sliding_window_stride')
+                      or [None] * dim)
+        for d in range(dim):
+            if window[d] is None or window[d] > img_shape[d]:
+                window[d] = img_shape[d]
+            if stride[d] is None or stride[d] > window[d]:
+                stride[d] = window[d]
+        whole = all(window[d] >= img_shape[d] for d in range(dim))
+        if n == 1 or not use_sw or whole or self.mesh is not None:
+            fetches = [self.run_async(predictor, ctx, images[i:i + 1],
+                                      tta_override) for i in range(n)]
+
+            def fetch_fallback():
+                outs = [f() for f in fetches]
+                if isinstance(outs[0], list):
+                    return [np.concatenate([o[h] for o in outs], 0)
+                            for h in range(len(outs[0]))]
+                return np.concatenate(outs, 0)
+
+            return fetch_fallback
+
+        vols = jnp.asarray(np.moveaxis(images, 1, -1))   # [N, *img, C]
+        if self.compute_dtype is not None:
+            vols = vols.astype(self.compute_dtype)
+        device_mode = 'label' if self.packed else self.output_mode
+        pads, starts, weights, chunk, target = self._bucket_plan(
+            tuple(img_shape), window, stride)
+        if pads is not None and any(pads):
+            vols = jnp.pad(vols, [(0, 0)] + [(0, p) for p in pads]
+                           + [(0, 0)], mode='edge')
+        pads_arr = None if pads is None else jnp.asarray(pads, jnp.int32)
+        unroll = n * target * (4 if tta else 1) <= 256
+        outs = _sliding_window_full_batch(
+            predictor, ctx, vols, jnp.asarray(starts),
+            jnp.asarray(weights), tuple(window), chunk, tta, device_mode,
+            pads_arr, unroll)
+        if pads is not None and any(pads):
+            cropped = []
+            padded_shape = vols.shape[1:-1]
+            for o in outs:
+                ratios = [o.shape[1 + d] / padded_shape[d]
+                          for d in range(dim)]
+                cropped.append(o[(slice(None),) + tuple(
+                    slice(0, int(img_shape[d] * ratios[d]))
+                    for d in range(dim))])
+            outs = cropped
+        pack_shapes = None
+        if self.packed:
+            pack_shapes = [tuple(o.shape) for o in outs]
+            outs = [_packbits_jit(o) for o in outs]
+        for o in outs:
+            try:
+                o.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
+
+        def fetch():
+            if self.packed:
+                results = [
+                    np.unpackbits(np.asarray(o),
+                                  count=int(np.prod(shp))).astype(
+                        np.uint8).reshape(shp)
+                    for o, shp in zip(outs, pack_shapes)]
+            elif self.output_mode == 'label':
+                results = [np.asarray(o) for o in outs]
+            else:
+                results = [np.moveaxis(np.asarray(o), -1, 1)
                            for o in outs]
             return results[0] if len(results) == 1 else results
 

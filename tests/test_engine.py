@@ -432,3 +432,25 @@ def test_unrolled_accumulation_matches_scan(rng):
         for x, y in zip(a, b):
             np.testing.assert_allclose(np.asarray(y), np.asarray(x),
                                        rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize('output_mode', ['logits', 'label', 'packed_label'])
+def test_batched_inference_matches_per_volume(rng, output_mode):
+    """run_batch: N same-shape volumes in one program dispatch — results
+    voxel-identical to N run_async calls, in every output mode."""
+    w_mat = rng.normal(size=(1, 2)).astype(np.float32)
+    pred = LinearPredictor(w_mat)
+    imgs = rng.normal(size=(3, 1, 10, 20, 24)).astype(np.float32)
+    cfg = {'sliding_window_enable': True, 'sliding_window_size': [8, 16, 16],
+           'sliding_window_stride': [4, 8, 8], 'tta_mode': 1,
+           'class_num': 2, 'output_mode': output_mode}
+    inf = Inferer(dict(cfg), patch_chunk=2)
+    single = np.concatenate([np.asarray(inf.run(pred, (), imgs[i:i + 1]))
+                             for i in range(3)], 0)
+    batched = np.asarray(inf.run_batch(pred, (), imgs))
+    assert batched.shape == single.shape
+    np.testing.assert_allclose(batched, single, rtol=1e-5, atol=1e-6)
+
+    # fallback paths keep the same contract (mesh-free single volume)
+    one = np.asarray(inf.run_batch(pred, (), imgs[:1]))
+    np.testing.assert_allclose(one, single[:1], rtol=1e-5, atol=1e-6)
