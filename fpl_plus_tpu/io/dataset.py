@@ -176,8 +176,9 @@ class NiftyDatasetDual(NiftyDataset):
     (reference nifty_dataset.py:14-104)."""
 
     def __init__(self, root_dir, csv_file, modal_num=1, with_label=False,
-                 transform=None):
-        super().__init__(root_dir, csv_file, modal_num, with_label, transform)
+                 transform=None, cache_bytes=0, host_shard=None):
+        super().__init__(root_dir, csv_file, modal_num, with_label,
+                         transform, cache_bytes, host_shard)
         keys = list(self.csv_items.keys())
         self.image1_idx = (keys.index('pixel_weight_nonl')
                            if 'pixel_weight_nonl' in keys else None)
@@ -189,8 +190,10 @@ class NiftyDatasetNpy(NiftyDataset):
     when ``train_fpl_uda`` (reference nifty_dataset.py:220-324)."""
 
     def __init__(self, root_dir, csv_file, modal_num=1, train_fpl_uda=False,
-                 with_label=False, transform=None):
-        super().__init__(root_dir, csv_file, modal_num, with_label, transform)
+                 with_label=False, transform=None, cache_bytes=0,
+                 host_shard=None):
+        super().__init__(root_dir, csv_file, modal_num, with_label,
+                         transform, cache_bytes, host_shard)
         self.train_fpl_uda = train_fpl_uda
         self.image_weight_idx = None
         self.pixel_weight_idx = None
@@ -232,8 +235,10 @@ class ClassificationDataset(NiftyDataset):
     """Images with scalar class labels (reference nifty_dataset.py:327-379)."""
 
     def __init__(self, root_dir, csv_file, modal_num=1, class_num=2,
-                 with_label=False, transform=None):
-        super().__init__(root_dir, csv_file, modal_num, with_label, transform)
+                 with_label=False, transform=None, cache_bytes=0,
+                 host_shard=None):
+        super().__init__(root_dir, csv_file, modal_num, with_label,
+                         transform, cache_bytes, host_shard)
         self.class_num = class_num
 
     def __getitem__(self, idx):
