@@ -93,13 +93,15 @@ def _as_list(out):
 
 
 @partial(jax.jit, static_argnames=('predictor', 'window', 'chunk',
-                                   'unroll_accum', 'tta_v'))
+                                   'unroll_accum', 'tta_v',
+                                   'static_starts', 'static_weights'))
 def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
                         starts: jnp.ndarray, weights: jnp.ndarray,
                         window: Tuple[int, ...], chunk: int,
                         pads: Optional[jnp.ndarray] = None,
                         unroll_accum: bool = False,
-                        tta_v: Optional[int] = None):
+                        tta_v: Optional[int] = None,
+                        static_starts=None, static_weights=None):
     """Core program: volume_v [V, *img, C], starts [P, dim] (P % chunk == 0),
     ``weights`` [P] scaling each window's contribution to output AND counter
     (0 for the duplicate starts that round out the last chunk — a nonzero
@@ -203,9 +205,14 @@ def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
         # carry with select fusions + double-buffer copies (~130 ms per
         # volume — 3x the conv compute). Here the scan only runs the
         # forwards and stacks predictions; the overlap-add is emitted as
-        # a STRAIGHT-LINE chain of scalar-start dynamic updates, which
-        # XLA executes in place. Chosen by the caller when the total
-        # update count is small (window count x TTA variants).
+        # a STRAIGHT-LINE chain of scalar-start dynamic updates. Chosen
+        # by the caller when the total update count is small.
+        #
+        # ``static_starts``/``static_weights`` (bucketing OFF only, where
+        # the program is specialized per volume shape anyway): the update
+        # positions become Python constants, so XLA emits true in-place
+        # aligned updates — profiling showed TRACED-start updates still
+        # lowering to full-array select fusions costing ~2x the convs.
         def body_fwd(_, chunk_in):
             starts_c, _w = chunk_in
             preds = _as_list(predictor(ctx, extract_chunk(starts_c)))
@@ -216,6 +223,18 @@ def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
         _, pred_seq = jax.lax.scan(body_fwd, 0,
                                    (starts_chunks, weights_chunks))
         n_chunks = starts_chunks.shape[0]
+        static_ok = (static_starts is not None and not per_variant)
+
+        def pos_of(p, v, i):
+            if static_ok:
+                return scaled(static_starts[p], i)
+            return scaled(starts[p] + offs[v], i)
+
+        def w_of(p):
+            if static_ok:
+                return static_weights[p]   # python float
+            return weights[p]
+
         outs, cnts = [], []
         for i in range(len(probes)):
             outs_v, cnts_v = [], []
@@ -224,9 +243,13 @@ def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
                 for c in range(n_chunks):
                     for j in range(chunk):
                         p = c * chunk + j
-                        o_v = add_at(o_v,
-                                     scaled(starts[p] + offs[v], i),
-                                     pred_seq[i][c, v, j] * weights[p],
+                        w_p = w_of(p)
+                        if static_ok and w_p == 0.0:
+                            continue   # weight-0 duplicate: no-op
+                        contrib = pred_seq[i][c, v, j]
+                        if not (static_ok and w_p == 1.0):
+                            contrib = contrib * w_p
+                        o_v = add_at(o_v, pos_of(p, v, i), contrib,
                                      windows[i])
                 outs_v.append(o_v)
                 if per_variant:
@@ -241,8 +264,13 @@ def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
             else:
                 c_a = cnts0[i]
                 for p in range(n_chunks * chunk):
-                    c_a = add_at(c_a, scaled(starts[p], i),
-                                 ones_wins[i] * weights[p], windows[i])
+                    w_p = w_of(p)
+                    if static_ok and w_p == 0.0:
+                        continue
+                    inc = ones_wins[i]
+                    if not (static_ok and w_p == 1.0):
+                        inc = inc * w_p
+                    c_a = add_at(c_a, pos_of(p, 0, i), inc, windows[i])
                 cnts.append(c_a)
         return outs, cnts
 
@@ -309,13 +337,15 @@ def _finalize(out, output_mode: str):
 
 
 @partial(jax.jit, static_argnames=('predictor', 'window', 'chunk', 'tta',
-                                   'output_mode', 'unroll_accum'))
+                                   'output_mode', 'unroll_accum',
+                                   'static_starts', 'static_weights'))
 def _sliding_window_full(predictor, ctx, vol: jnp.ndarray,
                          starts: jnp.ndarray, weights: jnp.ndarray,
                          window: Tuple[int, ...],
                          chunk: int, tta: bool, output_mode: str = 'logits',
                          pads: Optional[jnp.ndarray] = None,
-                         unroll_accum: bool = False):
+                         unroll_accum: bool = False,
+                         static_starts=None, static_weights=None):
     """One-dispatch program per volume: flip variants, sliding-window
     accumulation, overlap division, TTA un-flip averaging and the output
     head all fused — a single host round-trip matters on high-latency
@@ -325,7 +355,8 @@ def _sliding_window_full(predictor, ctx, vol: jnp.ndarray,
     variants = _make_variants(vol, tta)
     outs, cnts = _sliding_window_jit(predictor, ctx, variants, starts,
                                      weights, window, chunk, pads,
-                                     unroll_accum)
+                                     unroll_accum, None,
+                                     static_starts, static_weights)
     return [_finalize(_unflip_mean(
         o / jnp.maximum(c if c.ndim == o.ndim else c[None], 1e-6), tta),
         output_mode) for o, c in zip(outs, cnts)]
@@ -614,12 +645,19 @@ class Inferer:
                 # update count is small; large grids keep the scan-carried
                 # accumulators (bounded program size)
                 unroll = target * (4 if tta else 1) <= 256
+                # bucketing off -> the program is per-shape anyway, so the
+                # window grid can be STATIC: true in-place aligned updates
+                # instead of select-lowered traced-offset ones
+                st_s = st_w = None
+                if pads is None and unroll:
+                    st_s = tuple(map(tuple, np.asarray(starts).tolist()))
+                    st_w = tuple(float(w) for w in weights)
                 outs = _sliding_window_full(predictor, ctx, vol,
                                             jnp.asarray(starts),
                                             jnp.asarray(weights),
                                             tuple(window), chunk, tta,
                                             device_mode, pads_arr,
-                                            unroll)
+                                            unroll, st_s, st_w)
             if pads is not None and any(pads):
                 cropped = []
                 for o in outs:

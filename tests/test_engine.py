@@ -454,3 +454,19 @@ def test_batched_inference_matches_per_volume(rng, output_mode):
     # fallback paths keep the same contract (mesh-free single volume)
     one = np.asarray(inf.run_batch(pred, (), imgs[:1]))
     np.testing.assert_allclose(one, single[:1], rtol=1e-5, atol=1e-6)
+
+
+def test_static_grid_matches_bucketed(rng):
+    """infer_shape_bucket=0 (static per-shape window grid, in-place
+    accumulation) produces voxel-identical results to the bucketed traced
+    grid."""
+    w_mat = rng.normal(size=(1, 2)).astype(np.float32)
+    pred = LinearPredictor(w_mat)
+    img = rng.normal(size=(1, 1, 10, 20, 24)).astype(np.float32)
+    base = {'sliding_window_enable': True, 'sliding_window_size': [8, 16, 16],
+            'sliding_window_stride': [4, 8, 8], 'tta_mode': 1,
+            'class_num': 2}
+    bucketed = Inferer(dict(base, infer_shape_bucket=16)).run(pred, (), img)
+    static = Inferer(dict(base, infer_shape_bucket=0)).run(pred, (), img)
+    np.testing.assert_allclose(np.asarray(static), np.asarray(bucketed),
+                               rtol=1e-5, atol=1e-6)
