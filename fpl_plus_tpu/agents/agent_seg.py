@@ -531,6 +531,10 @@ class SegmentationAgent(NetRunAgent):
                  'opt_state': state.opt_state},
                 max_val_dice, update_latest=False)
         ckpt_lib.write_best_pointer(ckpt_dir, ckpt_prefix, max_val_it)
+        # multihost: readers (auto-test stage on every process) must not
+        # resolve pointers until process 0 finished writing them
+        from fpl_plus_tpu.parallel.multihost import barrier
+        barrier('train-ckpt-written')
         logging.info('The best performing iter is %d, valid dice %s',
                      max_val_it, max_val_dice)
         writer.close()
@@ -644,6 +648,8 @@ class SegmentationAgent(NetRunAgent):
         fpl = cfg_test.get('fpl', False)
         tt_dropout = cfg_test.get('test_time_dropout', False) or fpl
 
+        from fpl_plus_tpu.parallel.multihost import barrier
+        barrier('pre-ckpt-resolve')   # writes from a prior stage settle
         ckpt_mode = cfg_test['ckpt_mode']
         ckpt_name = ckpt_lib.get_checkpoint_name(self.config)
         if ckpt_mode == 3:

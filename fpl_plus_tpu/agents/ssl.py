@@ -60,17 +60,31 @@ class SSLSegAgent(SegmentationAgent):
             from fpl_plus_tpu.agents.agent_abstract import Compose
             transform = Compose([self.transform_dict[n](params)
                                  for n in names])
+        # same multihost/worker/cache policy as the labeled loaders
+        # (agent_abstract.create_dataset): per-host manifest shard, local
+        # 1/P slice of the global unlab batch, spare-core worker clamp
+        from fpl_plus_tpu.parallel.multihost import process_info
+        pidx, pcnt = process_info()
+        bn_unlab = data_cfg['train_batch_size_unlab']
+        host_shard = None
+        if pcnt > 1:
+            if bn_unlab % pcnt:
+                raise ValueError(
+                    'train_batch_size_unlab {0} must divide across {1} '
+                    'hosts'.format(bn_unlab, pcnt))
+            bn_unlab //= pcnt
+            host_shard = (pidx, pcnt)
+        workers = self._effective_workers(data_cfg)
+        cache_bytes = int(data_cfg.get('cache_gb', 2.0) * (1 << 30))             // max(workers, 1)
         dataset = NiftyDataset(
             root_dir=data_cfg['root_dir'],
             csv_file=data_cfg['train_csv_unlab'],
             modal_num=data_cfg.get('modal_num', 1),
-            with_label=False, transform=transform)
+            with_label=False, transform=transform,
+            cache_bytes=cache_bytes, host_shard=host_shard)
         self.train_loader_unlab = DataLoader(
-            dataset, batch_size=data_cfg['train_batch_size_unlab'],
-            shuffle=True,
-            num_workers=data_cfg.get('num_workder',
-                                     data_cfg.get('num_worker', 8)),
-            seed=self.random_seed + 100)
+            dataset, batch_size=bn_unlab, shuffle=True,
+            num_workers=workers, seed=self.random_seed + 100)
         self._unlab_iter = repeat_loader(self.train_loader_unlab)
 
     def shutdown(self):

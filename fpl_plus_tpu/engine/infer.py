@@ -169,8 +169,11 @@ def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
     outs0 = [[jnp.zeros(out_shapes[i] + (ks[i],), jnp.float32) + zero
               for _ in range(v_num)] for i in range(len(probes))]
     if per_variant:
+        # counters depend only on the flip pattern: tta_n distinct grids,
+        # shared by every volume group in batched serving (tiled to v_num
+        # on return) — not recomputed per group
         cnts0 = [[jnp.zeros(out_shapes[i] + (1,), jnp.float32) + zero
-                  for _ in range(v_num)] for i in range(len(probes))]
+                  for _ in range(tta_n)] for i in range(len(probes))]
     else:
         cnts0 = [jnp.zeros(out_shapes[i] + (1,), jnp.float32) + zero
                  for i in range(len(probes))]
@@ -252,7 +255,8 @@ def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
                         o_v = add_at(o_v, pos_of(p, v, i), contrib,
                                      windows[i])
                 outs_v.append(o_v)
-                if per_variant:
+            if per_variant:
+                for v in range(tta_n):
                     c_v = cnts0[i][v]
                     for p in range(n_chunks * chunk):
                         c_v = add_at(c_v, scaled(starts[p] + offs[v], i),
@@ -260,7 +264,8 @@ def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
                     cnts_v.append(c_v)
             outs.append(jnp.stack(outs_v))
             if per_variant:
-                cnts.append(jnp.stack(cnts_v))
+                cnts.append(jnp.concatenate(
+                    [jnp.stack(cnts_v)] * (v_num // tta_n), 0))
             else:
                 c_a = cnts0[i]
                 for p in range(n_chunks * chunk):
@@ -294,7 +299,7 @@ def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
 
             if per_variant:
                 cnts_v = []
-                for v in range(v_num):
+                for v in range(tta_n):
                     c_v = cnts[i][v]
                     for j in range(chunk):
                         c_v = add_at(c_v, scaled(starts_c[j] + offs[v], i),
@@ -312,10 +317,12 @@ def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
 
     (outs, cnts), _ = jax.lax.scan(body, (outs0, cnts0),
                                    (starts_chunks, weights_chunks))
-    # restore the stacked [V, ...] / [*img, 1] return contract
+    # restore the stacked [V, ...] / [*img, 1] return contract (tiling
+    # the tta_n shared counters across volume groups)
     outs = [jnp.stack(o) for o in outs]
     if per_variant:
-        cnts = [jnp.stack(c) for c in cnts]
+        cnts = [jnp.concatenate([jnp.stack(c)] * (v_num // tta_n), 0)
+                for c in cnts]
     return outs, cnts
 
 
@@ -487,6 +494,70 @@ class Inferer:
         from fpl_plus_tpu.utils.precision import resolve_dtype
         self.compute_dtype = resolve_dtype(config.get('precision', 'float32'))
 
+    def _resolve_sw(self, img_shape):
+        """(use_sw, window, stride) with the reference clamps: window caps
+        at the image, stride caps at the window."""
+        dim = len(img_shape)
+        use_sw = self.config.get('sliding_window_enable', False)
+        window = list(self.config.get('sliding_window_size')
+                      or [None] * dim)
+        stride = list(self.config.get('sliding_window_stride')
+                      or [None] * dim)
+        for d in range(dim):
+            if window[d] is None or window[d] > img_shape[d]:
+                window[d] = img_shape[d]
+            if stride[d] is None or stride[d] > window[d]:
+                stride[d] = window[d]
+        return use_sw, window, stride
+
+    @staticmethod
+    def _crop_margins(outs, padded_shape, true_shape, lead: int):
+        """Crop the zero-counter bucket margin off every head (per-head
+        output grids scale with the head's window); ``lead`` = number of
+        leading non-spatial axes (0 per-volume, 1 batched)."""
+        dim = len(true_shape)
+        cropped = []
+        for o in outs:
+            ratios = [o.shape[lead + d] / padded_shape[d]
+                      for d in range(dim)]
+            cropped.append(o[(slice(None),) * lead + tuple(
+                slice(0, int(true_shape[d] * ratios[d]))
+                for d in range(dim))])
+        return cropped
+
+    def _finish_outputs(self, outs, batched: bool):
+        """Common serving tail: device-side bit-packing (packed mode),
+        eager D2H enqueue, and the host-format fetch closure. Per-volume
+        results carry a leading [1] axis (the dataset contract); batched
+        results keep their [N] axis."""
+        pack_shapes = None
+        if self.packed:
+            pack_shapes = [tuple(o.shape) for o in outs]
+            outs = [_packbits_jit(o) for o in outs]
+        for o in outs:   # start D2H now so fetch() overlaps later work
+            try:
+                o.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
+
+        def _host(o, shp):
+            if self.packed:
+                return np.unpackbits(np.asarray(o),
+                                     count=int(np.prod(shp))).astype(
+                    np.uint8).reshape(shp)
+            return np.asarray(o)
+
+        def fetch():
+            results = []
+            for i, o in enumerate(outs):
+                arr = _host(o, pack_shapes[i] if self.packed else None)
+                if self.output_mode not in ('label', 'packed_label'):
+                    arr = np.moveaxis(arr, -1, 1 if batched else 0)
+                results.append(arr if batched else arr[None])
+            return results[0] if len(results) == 1 else results
+
+        return fetch
+
     def _bucket_plan(self, true_shape, window, stride):
         """Shape-bucketed window-grid plan for one volume shape: returns
         (pads, starts, weights, chunk, target). ``pads`` is a per-dim
@@ -561,15 +632,7 @@ class Inferer:
         device_mode = 'label' if self.packed else self.output_mode
         img_shape = vol.shape[:-1]
         dim = len(img_shape)
-
-        use_sw = self.config.get('sliding_window_enable', False)
-        window = list(self.config.get('sliding_window_size') or [None] * dim)
-        stride = list(self.config.get('sliding_window_stride') or [None] * dim)
-        for d in range(dim):
-            if window[d] is None or window[d] > img_shape[d]:
-                window[d] = img_shape[d]
-            if stride[d] is None or stride[d] > window[d]:
-                stride[d] = window[d]
+        use_sw, window, stride = self._resolve_sw(img_shape)
 
         if not use_sw or all(window[d] >= img_shape[d] for d in range(dim)):
             # whole-volume path: pad spatial dims to a multiple of the
@@ -659,40 +722,8 @@ class Inferer:
                                             device_mode, pads_arr,
                                             unroll, st_s, st_w)
             if pads is not None and any(pads):
-                cropped = []
-                for o in outs:
-                    ratios = [o.shape[d] / img_shape[d] for d in range(dim)]
-                    cropped.append(o[tuple(
-                        slice(0, int(true_shape[d] * ratios[d]))
-                        for d in range(dim))])
-                outs = cropped
-        pack_shapes = None
-        if self.packed:
-            pack_shapes = [tuple(o.shape) for o in outs]
-            outs = [_packbits_jit(o) for o in outs]
-        for o in outs:    # start D2H now so fetch() overlaps with later work
-            try:
-                o.copy_to_host_async()
-            except (AttributeError, RuntimeError):
-                pass
-
-        def fetch():
-            # back to the host contract [1, K, *img] (list for multi-scale
-            # nets); label/packed_label modes return [1, *img] uint8 maps
-            if self.packed:
-                results = [
-                    np.unpackbits(np.asarray(o),
-                                  count=int(np.prod(shp))).astype(
-                        np.uint8).reshape(shp)[None]
-                    for o, shp in zip(outs, pack_shapes)]
-            elif self.output_mode == 'label':
-                results = [np.asarray(o)[None] for o in outs]
-            else:
-                results = [np.moveaxis(np.asarray(o), -1, 0)[None]
-                           for o in outs]
-            return results[0] if len(results) == 1 else results
-
-        return fetch
+                outs = self._crop_margins(outs, img_shape, true_shape, 0)
+        return self._finish_outputs(outs, batched=False)
 
     def run_batch(self, predictor: Callable, ctx, images,
                   tta_override: Optional[bool] = None):
@@ -713,6 +744,8 @@ class Inferer:
         has one volume, sliding window is off, or a mesh is active."""
         images = np.asarray(images)
         n = images.shape[0]
+        if n == 0:
+            raise ValueError('run_batch needs at least one volume')
         tta_mode = self.config.get('tta_mode', 0)
         if tta_mode not in (0, 1):
             raise ValueError('Undefined tta_mode {0}'.format(tta_mode))
@@ -720,15 +753,7 @@ class Inferer:
 
         img_shape = images.shape[2:]
         dim = len(img_shape)
-        use_sw = self.config.get('sliding_window_enable', False)
-        window = list(self.config.get('sliding_window_size') or [None] * dim)
-        stride = list(self.config.get('sliding_window_stride')
-                      or [None] * dim)
-        for d in range(dim):
-            if window[d] is None or window[d] > img_shape[d]:
-                window[d] = img_shape[d]
-            if stride[d] is None or stride[d] > window[d]:
-                stride[d] = window[d]
+        use_sw, window, stride = self._resolve_sw(img_shape)
         whole = all(window[d] >= img_shape[d] for d in range(dim))
         if n == 1 or not use_sw or whole or self.mesh is not None:
             fetches = [self.run_async(predictor, ctx, images[i:i + 1],
@@ -759,40 +784,9 @@ class Inferer:
             jnp.asarray(weights), tuple(window), chunk, tta, device_mode,
             pads_arr, unroll)
         if pads is not None and any(pads):
-            cropped = []
-            padded_shape = vols.shape[1:-1]
-            for o in outs:
-                ratios = [o.shape[1 + d] / padded_shape[d]
-                          for d in range(dim)]
-                cropped.append(o[(slice(None),) + tuple(
-                    slice(0, int(img_shape[d] * ratios[d]))
-                    for d in range(dim))])
-            outs = cropped
-        pack_shapes = None
-        if self.packed:
-            pack_shapes = [tuple(o.shape) for o in outs]
-            outs = [_packbits_jit(o) for o in outs]
-        for o in outs:
-            try:
-                o.copy_to_host_async()
-            except (AttributeError, RuntimeError):
-                pass
-
-        def fetch():
-            if self.packed:
-                results = [
-                    np.unpackbits(np.asarray(o),
-                                  count=int(np.prod(shp))).astype(
-                        np.uint8).reshape(shp)
-                    for o, shp in zip(outs, pack_shapes)]
-            elif self.output_mode == 'label':
-                results = [np.asarray(o) for o in outs]
-            else:
-                results = [np.moveaxis(np.asarray(o), -1, 1)
-                           for o in outs]
-            return results[0] if len(results) == 1 else results
-
-        return fetch
+            outs = self._crop_margins(outs, vols.shape[1:-1],
+                                      tuple(img_shape), 1)
+        return self._finish_outputs(outs, batched=True)
 
     def run_mc(self, predictor: Callable, ctx_factory: Callable, image,
                rngs: List, tta_override: Optional[bool] = None

@@ -71,6 +71,17 @@ def is_primary_host() -> bool:
     return process_info()[0] == 0
 
 
+def barrier(tag: str = 'sync') -> None:
+    """Cross-process barrier (no-op single-process). Used at write->read
+    handoffs on shared storage: process 0 finishes checkpoint/pointer
+    writes before any process proceeds to read them (train -> auto-test,
+    test-stage checkpoint resolution)."""
+    if process_info()[1] <= 1:
+        return
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(tag)
+
+
 def shard_manifest_rows(n_rows: int, process_index: int,
                         process_count: int):
     """Row-strided per-host shard of a manifest: host i reads rows
