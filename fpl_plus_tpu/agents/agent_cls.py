@@ -163,6 +163,7 @@ class ClassificationAgent(NetRunAgent):
                             x, None, False)
 
         writer = ScalarWriter(ckpt_dir)
+        ckpt_writer = ckpt_lib.CheckpointWriter()   # async atomic saves
         train_iter = repeat_loader(self.train_loaders[0])
         rng = jax.random.PRNGKey(self.random_seed)
         max_score, max_it = -1.0, iter_start
@@ -222,18 +223,19 @@ class ClassificationAgent(NetRunAgent):
                 best_host = jax.tree_util.tree_map(
                     np.asarray, {'params': state.params,
                                  'batch_stats': state.batch_stats})
-            ckpt_lib.save_checkpoint(
+            ckpt_writer.submit(
                 ckpt_dir, ckpt_prefix, glob_it,
                 {'params': state.params, 'batch_stats': state.batch_stats,
                  'opt_state': state.opt_state},
                 valid_scalars[metrics_name])
         if best_host is not None:
-            ckpt_lib.save_checkpoint(
+            ckpt_writer.submit(
                 ckpt_dir, ckpt_prefix, max_it,
                 {'params': best_host['params'],
                  'batch_stats': best_host['batch_stats'],
                  'opt_state': state.opt_state}, max_score,
                 update_latest=False)
+        ckpt_writer.close()   # artifacts durable before the pointer write
         ckpt_lib.write_best_pointer(ckpt_dir, ckpt_prefix, max_it)
         writer.close()
         self.variables = {'params': state.params,

@@ -134,6 +134,42 @@ class SegmentationAgent(NetRunAgent):
             out = self.module.apply(variables, x, domain, False)
         return out[0] if isinstance(out, (tuple, list)) else out
 
+    def _patch_forward_mc(self, ctx, x):
+        """MC-folded predictor for ``Inferer.run_passes_async``: ctx =
+        (variables, domain, rngs[M]); the patch batch is M row-major
+        groups, group m forwarded with dropout active under rng m
+        (``jax.vmap`` over the key axis — identical masks to M separate
+        applies because each lane draws with its own key at unchanged
+        activation shapes)."""
+        variables, domain, rngs = ctx
+        m = rngs.shape[0]
+        xg = x.reshape((m, x.shape[0] // m) + x.shape[1:])
+
+        def one(r, xb):
+            out = self.module.apply(variables, xb, domain, False,
+                                    use_dropout=True, rngs={'dropout': r})
+            return out[0] if isinstance(out, (tuple, list)) else out
+
+        out = jax.vmap(one)(rngs, xg)
+        return out.reshape((-1,) + out.shape[2:])
+
+    def _patch_forward_ens(self, ctx, x):
+        """Ensemble-folded predictor: ctx = (stacked_variables, domain)
+        where every leaf of ``stacked_variables`` carries a leading
+        checkpoint axis N; group i of the patch batch is forwarded with
+        checkpoint i's parameters/batch stats (ckpt_mode-3 folding —
+        reference agent_seg.py:966-1020 runs N sequential nets)."""
+        stacked, domain = ctx
+        n = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+        xg = x.reshape((n, x.shape[0] // n) + x.shape[1:])
+
+        def one(v, xb):
+            out = self.module.apply(v, xb, domain, False)
+            return out[0] if isinstance(out, (tuple, list)) else out
+
+        out = jax.vmap(one)(stacked, xg)
+        return out.reshape((-1,) + out.shape[2:])
+
     def _make_inferer(self) -> Inferer:
         infer_cfg = dict(self.config['testing'])
         infer_cfg['class_num'] = self.config['network']['class_num']
@@ -185,19 +221,23 @@ class SegmentationAgent(NetRunAgent):
         """Default: supervised/dual-domain step. Reference semantics:
         dual=True -> joint loss (training_all); otherwise per-domain
         alternating steps with the entropy regulariser."""
+        opt_name = self.config['training'].get('optimizer', None)
         if self.config['training'].get('dual_consistency', False):
             from fpl_plus_tpu.engine.train import make_dual_consistency_step
             base = make_dual_consistency_step(
                 self.module.apply, loss_calc, optimizer,
                 fpl_uda=self.fpl_uda, entropy_coeff=1.0,
-                compute_dtype=self.train_dtype)
+                compute_dtype=self.train_dtype, optimizer_name=opt_name)
         else:
             base = make_train_step(
                 self.module.apply, loss_calc, optimizer,
                 num_domains=self.num_domains, joint=self.dual,
                 fpl_uda=self.fpl_uda,
                 entropy_coeff=1.0 if (self.use_entropy and not self.dual)
-                else 0.0, compute_dtype=self.train_dtype)
+                else 0.0, compute_dtype=self.train_dtype,
+                optimizer_name=opt_name,
+                fused_domains=self.config['training'].get(
+                    'fused_domain_forward', True))
         if not self.config['training'].get('dis', False):
             return base
         dis_step = self._build_dis_step()
@@ -368,7 +408,9 @@ class SegmentationAgent(NetRunAgent):
                 raise ValueError(
                     'train_batch_size {0} must be divisible by the '
                     '{1}-device mesh'.format(bs, mesh.size))
-            train_step = make_sharded_train_step(train_step, mesh)
+            train_step = make_sharded_train_step(
+                train_step, mesh,
+                optimizer_name=cfg_t.get('optimizer', None))
             state = replicate(state, mesh)
             logging.info('data-parallel training over a %d-device mesh',
                          mesh.size)
@@ -390,6 +432,10 @@ class SegmentationAgent(NetRunAgent):
                              'fresh init kept')
 
         writer = ScalarWriter(ckpt_dir)
+        # async checkpointing (SURVEY section 5.3): serialize+write run on a
+        # worker thread so iter_save never stalls the step loop; flushed
+        # before the best-pointer write / auto-test read the artifacts
+        ckpt_writer = ckpt_lib.CheckpointWriter()
         train_iters = [repeat_loader(ld) for ld in self.train_loaders]
         rng = jax.random.PRNGKey(self.random_seed)
         glob_it = iter_start
@@ -499,8 +545,8 @@ class SegmentationAgent(NetRunAgent):
                            'opt_state': state.opt_state}
                 if state.extra is not None:
                     payload['extra'] = state.extra
-                ckpt_lib.save_checkpoint(ckpt_dir, ckpt_prefix, glob_it,
-                                         payload, valid_scalars['avg_dice'])
+                ckpt_writer.submit(ckpt_dir, ckpt_prefix, glob_it,
+                                   payload, valid_scalars['avg_dice'])
             if stop_now:
                 logging.info('The training is early stopped')
                 break
@@ -519,17 +565,18 @@ class SegmentationAgent(NetRunAgent):
                        'opt_state': state.opt_state}
             if state.extra is not None:
                 payload['extra'] = state.extra
-            ckpt_lib.save_checkpoint(ckpt_dir, ckpt_prefix, glob_it, payload,
-                                     max_val_dice)
+            ckpt_writer.submit(ckpt_dir, ckpt_prefix, glob_it, payload,
+                               max_val_dice)
 
         # save the best-performing checkpoint (reference :809-828)
         if best_state_host is not None:
-            ckpt_lib.save_checkpoint(
+            ckpt_writer.submit(
                 ckpt_dir, ckpt_prefix, max_val_it,
                 {'params': best_state_host['params'],
                  'batch_stats': best_state_host['batch_stats'],
                  'opt_state': state.opt_state},
                 max_val_dice, update_latest=False)
+        ckpt_writer.close()   # artifacts durable before the pointer write
         ckpt_lib.write_best_pointer(ckpt_dir, ckpt_prefix, max_val_it)
         # multihost: readers (auto-test stage on every process) must not
         # resolve pointers until process 0 finished writing them
@@ -712,10 +759,24 @@ class SegmentationAgent(NetRunAgent):
                     t0 = time.time()
                     if fpl:
                         rng, *subs = jax.random.split(rng, 7)
-                        preds = self.inferer.run_mc(
-                            self._patch_forward,
-                            lambda r: (variables, jnp.int32(domain_label), r),
-                            images, subs)
+                        if self.inferer.mesh is None:
+                            # production path: all 6 passes in ONE dispatch
+                            fetch6 = self.inferer.run_passes_async(
+                                self._patch_forward_mc,
+                                (variables, jnp.int32(domain_label),
+                                 jnp.stack(subs)), images, 6)
+                            stacked6 = fetch6()   # [6, K, *img] per head
+                            if isinstance(stacked6, list):
+                                stacked6 = stacked6[0]
+                            preds = [stacked6[i:i + 1] for i in range(6)]
+                        else:
+                            # mesh path: per-pass dispatch (grid sharding
+                            # has no fold axis)
+                            preds = self.inferer.run_mc(
+                                self._patch_forward,
+                                lambda r: (variables,
+                                           jnp.int32(domain_label), r),
+                                images, subs)
                         maps = []
                         for pred in preds:
                             d2 = dict(data)
@@ -730,10 +791,22 @@ class SegmentationAgent(NetRunAgent):
                         name = data['names'][0]
                         if isinstance(name, (list, tuple)):
                             name = name[0]
-                        # image-level uncertainty (reference :921-929)
+                        # image-level uncertainty (reference :921-929).
+                        # The reference formula is binary (entropy term of
+                        # the class-1 mean probability only); for
+                        # multi-class adaptation (MMWHS-style) the natural
+                        # generalization is the full entropy of the mean
+                        # softmax — identical selection behavior, reduces
+                        # to a two-term version of the same quantity.
                         vars_ = maps.var(axis=0).sum()
-                        means = np.mean(maps[:, 1], axis=0)
-                        uncertainty = -1.0 * (means * np.log(means + 1e-6))
+                        if maps.shape[1] == 2:
+                            means = np.mean(maps[:, 1], axis=0)
+                            uncertainty = -1.0 * (means
+                                                  * np.log(means + 1e-6))
+                        else:
+                            means = np.mean(maps, axis=0)   # [K, *img]
+                            uncertainty = -np.sum(
+                                means * np.log(means + 1e-6), axis=0)
                         boundary = np.where(uncertainty > 0.01, 1, 0).sum()
                         uncer_one = 1 if boundary < 50 else vars_ / boundary
                         uncertainty_list[name] = [uncer_one]
@@ -785,19 +858,34 @@ class SegmentationAgent(NetRunAgent):
                 {'params': loaded['state']['params'],
                  'batch_stats': loaded['state']['batch_stats']},
                 self.infer_precision))
+        n_ck = len(all_vars)
+        stacked_vars = None
+        if self.inferer.mesh is None and n_ck > 1:
+            # fold the N checkpoint passes into one dispatch: stack every
+            # variable leaf on a leading checkpoint axis
+            stacked_vars = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *all_vars)
         infer_times = []
         for batch_data in prefetch_iter(self.test_loader):
           for data in _split_batch(batch_data):
             images = np.asarray(data['image'], np.float32)
             t0 = time.time()
-            # dispatch every checkpoint's pass before fetching any result:
-            # the device works through the ensemble back-to-back while the
-            # host receives finished outputs (run_async pipelining)
-            fetches = [self.inferer.run_async(
-                self._patch_forward, (v, jnp.int32(domain_label), None),
-                images) for v in all_vars]
-            preds = [fetch() for fetch in fetches]
-            data['predict'] = np.mean(preds, axis=0)
+            if stacked_vars is not None:
+                fetch = self.inferer.run_passes_async(
+                    self._patch_forward_ens,
+                    (stacked_vars, jnp.int32(domain_label)), images, n_ck)
+                preds = fetch()   # [N, K, *img] per head
+                if isinstance(preds, list):
+                    preds = preds[0]
+                data['predict'] = np.mean(preds, axis=0, keepdims=True)
+            else:
+                # mesh (or single-ckpt) path: per-checkpoint dispatches,
+                # all enqueued before any result is fetched
+                fetches = [self.inferer.run_async(
+                    self._patch_forward, (v, jnp.int32(domain_label), None),
+                    images) for v in all_vars]
+                preds = [fetch() for fetch in fetches]
+                data['predict'] = np.mean(preds, axis=0)
             for transform in self.transform_list[::-1]:
                 if transform.inverse:
                     data = transform.inverse_transform_for_prediction(data)

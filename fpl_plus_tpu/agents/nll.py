@@ -24,7 +24,7 @@ import optax
 
 from fpl_plus_tpu.agents.agent_seg import SegmentationAgent
 from fpl_plus_tpu.agents.ssl import _first
-from fpl_plus_tpu.engine.train import train_dice
+from fpl_plus_tpu.engine.train import jit_train_step, train_dice
 from fpl_plus_tpu.io.dataset import NiftyDataset
 from fpl_plus_tpu.io.loader import DataLoader, repeat_loader
 from fpl_plus_tpu.models.multi_net import make_binet, make_trinet
@@ -113,7 +113,7 @@ class NLLCoTeaching(SegmentationAgent):
                            'class_dice_0': train_dice(p0,
                                                       batch['label_prob'])}
 
-        return jax.jit(step, donate_argnums=(0,))
+        return jit_train_step(step, self.config['training'].get('optimizer'))
 
 
 class NLLTriNet(NLLCoTeaching):
@@ -177,7 +177,7 @@ class NLLTriNet(NLLCoTeaching):
                            'class_dice_0': train_dice(p0,
                                                       batch['label_prob'])}
 
-        return jax.jit(step, donate_argnums=(0,))
+        return jit_train_step(step, self.config['training'].get('optimizer'))
 
 
 class _Rank:
@@ -332,7 +332,7 @@ class NLLDAST(SegmentationAgent):
                            'class_dice_0': train_dice(
                                p0, batches['clean']['label_prob'])}
 
-        jitted = jax.jit(step, donate_argnums=(0,))
+        jitted = jit_train_step(step, self.config['training'].get('optimizer'))
 
         def wrapped(state, batches, rng, hyper):
             state, metrics = jitted(state, batches, rng, hyper)

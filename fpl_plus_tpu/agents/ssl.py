@@ -25,7 +25,8 @@ import numpy as np
 import optax
 
 from fpl_plus_tpu.agents.agent_seg import SegmentationAgent
-from fpl_plus_tpu.engine.train import TrainState, train_dice
+from fpl_plus_tpu.engine.train import (TrainState, jit_train_step,
+                                       train_dice)
 from fpl_plus_tpu.io.dataset import NiftyDataset
 from fpl_plus_tpu.io.loader import DataLoader, repeat_loader
 from fpl_plus_tpu.losses.seg import EntropyLoss
@@ -158,7 +159,7 @@ class SSLEntropyMinimization(SSLSegAgent):
             return state, {'loss': loss, 'loss_sup': l_sup, 'loss_reg': l_reg,
                            'class_dice_0': train_dice(p0, batches['lab']['label_prob'])}
 
-        return jax.jit(step, donate_argnums=(0,))
+        return jit_train_step(step, self.config['training'].get('optimizer'))
 
 
 class _EMAMixin:
@@ -223,7 +224,7 @@ class SSLMeanTeacher(_EMAMixin, SSLSegAgent):
             return state, {'loss': loss, 'loss_sup': l_sup, 'loss_reg': l_reg,
                            'class_dice_0': train_dice(p0, batches['lab']['label_prob'])}
 
-        return jax.jit(step, donate_argnums=(0,))
+        return jit_train_step(step, self.config['training'].get('optimizer'))
 
 
 class SSLUAMT(_EMAMixin, SSLSegAgent):
@@ -289,7 +290,7 @@ class SSLUAMT(_EMAMixin, SSLSegAgent):
             return state, {'loss': loss, 'loss_sup': l_sup, 'loss_reg': l_reg,
                            'class_dice_0': train_dice(p0, batches['lab']['label_prob'])}
 
-        return jax.jit(step, donate_argnums=(0,))
+        return jit_train_step(step, self.config['training'].get('optimizer'))
 
 
 class SSLCCT(SSLSegAgent):
@@ -330,7 +331,7 @@ class SSLCCT(SSLSegAgent):
             return state, {'loss': loss, 'loss_sup': l_sup, 'loss_reg': l_reg,
                            'class_dice_0': train_dice(p0, batches['lab']['label_prob'])}
 
-        return jax.jit(step, donate_argnums=(0,))
+        return jit_train_step(step, self.config['training'].get('optimizer'))
 
 
 class SSLCPS(SSLSegAgent):
@@ -381,7 +382,7 @@ class SSLCPS(SSLSegAgent):
             return state, {'loss': loss, 'loss_sup': l_sup, 'loss_reg': l_reg,
                            'class_dice_0': train_dice(p0, batches['lab']['label_prob'])}
 
-        return jax.jit(step, donate_argnums=(0,))
+        return jit_train_step(step, self.config['training'].get('optimizer'))
 
 
 def _kl_per_voxel(logp, q):
@@ -437,7 +438,7 @@ class SSLURPC(SSLSegAgent):
             return state, {'loss': loss, 'loss_sup': l_sup, 'loss_reg': l_reg,
                            'class_dice_0': train_dice(p0, batches['lab']['label_prob'])}
 
-        return jax.jit(step, donate_argnums=(0,))
+        return jit_train_step(step, self.config['training'].get('optimizer'))
 
 
 SSLMethodDict = {

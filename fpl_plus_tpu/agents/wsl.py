@@ -19,7 +19,7 @@ import optax
 
 from fpl_plus_tpu.agents.agent_seg import SegmentationAgent, to_channels_last
 from fpl_plus_tpu.agents.ssl import _EMAMixin, _first, _noise_like
-from fpl_plus_tpu.engine.train import train_dice
+from fpl_plus_tpu.engine.train import jit_train_step, train_dice
 from fpl_plus_tpu.losses import GatedCRFLoss
 from fpl_plus_tpu.losses.seg import (DiceLoss, EntropyLoss, MumfordShahLoss,
                                      TotalVariationLoss)
@@ -98,7 +98,7 @@ class WSLSegAgent(SegmentationAgent):
                            'loss_reg': l_reg,
                            'class_dice_0': train_dice(p, batch['label_prob'])}
 
-        return jax.jit(step, donate_argnums=(0,))
+        return jit_train_step(step, self.config['training'].get('optimizer'))
 
 
 class WSLEntropyMinimization(WSLSegAgent):
@@ -234,7 +234,7 @@ class WSLUSTM(_EMAMixin, WSLSegAgent):
             return state, {'loss': loss, 'loss_sup': l_sup, 'loss_reg': l_reg,
                            'class_dice_0': train_dice(p, batch['label_prob'])}
 
-        return jax.jit(step, donate_argnums=(0,))
+        return jit_train_step(step, self.config['training'].get('optimizer'))
 
 
 class WSLDMPLS(WSLSegAgent):
@@ -283,7 +283,7 @@ class WSLDMPLS(WSLSegAgent):
             return state, {'loss': loss, 'loss_sup': l_sup, 'loss_reg': l_reg,
                            'class_dice_0': train_dice(p, batch['label_prob'])}
 
-        return jax.jit(step, donate_argnums=(0,))
+        return jit_train_step(step, self.config['training'].get('optimizer'))
 
 
 WSLMethodDict = {

@@ -8,11 +8,29 @@ files ``{prefix}_latest.txt`` / ``{prefix}_best.txt`` hold the iteration
 number; ``ckpt_mode`` 0=latest / 1=best / 2=explicit path / 3=list (the
 agent ensembles mode-3 lists). Serialization is flax msgpack — a pure
 host-side artifact, restored into the live TrainState pytree structure.
+
+Durability + overlap (SURVEY.md section 5.3 TPU plan — the reference's
+torch.save is synchronous and non-atomic):
+
+* ATOMIC: the artifact is written to ``<name>.tmp``, fsync'd, then
+  ``os.replace``d into place, and the ``_latest.txt`` pointer is written
+  (same tmp+rename discipline) only AFTER the rename — a crash at any
+  point leaves the previous pointer referencing a complete checkpoint.
+* ASYNC: ``CheckpointWriter`` moves serialize+write off the step loop onto
+  a single worker thread. The caller thread only snapshots the state with
+  ``jnp.copy`` (an async device-side copy — required anyway because the
+  jitted train step donates its input state buffers) and enqueues the
+  device->host transfer; training continues while msgpack+disk I/O run in
+  the background. ``flush()`` drains the queue and re-raises worker
+  errors; the agent flushes before anything reads the files (best-pointer
+  write, auto-test stage).
 """
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, List, Union
+import queue
+import threading
+from typing import Any, Dict, List, Optional, Union
 
 import jax
 import numpy as np
@@ -31,6 +49,24 @@ def _to_host(tree):
     return jax.tree_util.tree_map(np.asarray, tree)
 
 
+def _atomic_write(path: str, data: bytes, fsync: bool = True) -> None:
+    """tmp + fsync + os.replace: ``path`` either keeps its old content or
+    holds the complete new content — never a torn write."""
+    tmp = path + '.tmp'
+    with open(tmp, 'wb') as f:
+        f.write(data)
+        if fsync:
+            f.flush()
+            os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def _write_pointer(ckpt_dir: str, prefix: str, kind: str,
+                   iteration: int) -> None:
+    _atomic_write('{0}/{1}_{2}.txt'.format(ckpt_dir, prefix, kind),
+                  str(iteration).encode(), fsync=False)
+
+
 def save_checkpoint(ckpt_dir: str, prefix: str, iteration: int,
                     state: Dict[str, Any], valid_pred: float,
                     update_latest: bool = True) -> str:
@@ -41,11 +77,9 @@ def save_checkpoint(ckpt_dir: str, prefix: str, iteration: int,
     os.makedirs(ckpt_dir, exist_ok=True)
     payload = {'iteration': iteration, 'valid_pred': float(valid_pred),
                'state': _to_host(state)}
-    with open(name, 'wb') as f:
-        f.write(serialization.to_bytes(payload))
-    if update_latest:
-        with open('{0}/{1}_latest.txt'.format(ckpt_dir, prefix), 'w') as f:
-            f.write(str(iteration))
+    _atomic_write(name, serialization.to_bytes(payload))
+    if update_latest:   # pointer only after the artifact is durable
+        _write_pointer(ckpt_dir, prefix, 'latest', iteration)
     return name
 
 
@@ -53,8 +87,81 @@ def write_best_pointer(ckpt_dir: str, prefix: str, iteration: int) -> None:
     from fpl_plus_tpu.parallel.multihost import is_primary_host
     if not is_primary_host():   # multi-host: only process 0 writes
         return
-    with open('{0}/{1}_best.txt'.format(ckpt_dir, prefix), 'w') as f:
-        f.write(str(iteration))
+    _write_pointer(ckpt_dir, prefix, 'best', iteration)
+
+
+class CheckpointWriter:
+    """Background checkpoint writer: ``submit`` snapshots the (donated)
+    device state with ``jnp.copy`` + enqueues its device->host transfer and
+    returns immediately; a single worker thread serializes and writes with
+    the atomic rename + pointer-after-artifact discipline of
+    ``save_checkpoint``. Submission order = pointer-update order (one
+    worker), so ``_latest.txt`` always names the newest durable artifact."""
+
+    def __init__(self):
+        self._q: 'queue.Queue' = queue.Queue()
+        self._error: Optional[BaseException] = None
+        self._thread: Optional[threading.Thread] = None
+
+    def _ensure_thread(self):
+        if self._thread is None or not self._thread.is_alive():
+            self._thread = threading.Thread(target=self._loop, daemon=True)
+            self._thread.start()
+
+    def _loop(self):
+        while True:
+            item = self._q.get()
+            try:
+                if item is None:
+                    return
+                save_checkpoint(*item)
+            except BaseException as exc:   # surfaced by flush()
+                self._error = exc
+            finally:
+                self._q.task_done()
+
+    def submit(self, ckpt_dir: str, prefix: str, iteration: int,
+               state: Dict[str, Any], valid_pred: float,
+               update_latest: bool = True) -> str:
+        name = '{0}/{1}_{2}.ckpt'.format(ckpt_dir, prefix, iteration)
+        from fpl_plus_tpu.parallel.multihost import is_primary_host
+        if not is_primary_host():
+            return name
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+        def snap(x):
+            if isinstance(x, jax.Array):
+                y = jax.numpy.copy(x)   # async; survives donation
+                try:
+                    y.copy_to_host_async()
+                except (AttributeError, RuntimeError):
+                    pass
+                return y
+            return np.asarray(x)
+
+        snapshot = jax.tree_util.tree_map(snap, state)
+        self._ensure_thread()
+        self._q.put((ckpt_dir, prefix, iteration, snapshot, valid_pred,
+                     update_latest))
+        return name
+
+    def flush(self) -> None:
+        """Block until every submitted checkpoint is durable; re-raise the
+        first worker error. Call before anything READS the files (pointer
+        resolution, auto-test) and at end of training."""
+        self._q.join()
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+    def close(self) -> None:
+        self.flush()
+        if self._thread is not None and self._thread.is_alive():
+            self._q.put(None)
+            self._thread.join(timeout=10)
+        self._thread = None
 
 
 def load_checkpoint(path: str, state_template: Dict[str, Any]

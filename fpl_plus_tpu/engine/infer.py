@@ -446,6 +446,25 @@ def _whole_volume_jit(predictor, ctx, vol: jnp.ndarray, tta: bool):
     return [_unflip_mean(p.astype(jnp.float32), tta) for p in preds]
 
 
+@partial(jax.jit, static_argnames=('predictor', 'tta', 'output_mode'))
+def _whole_volume_batch_jit(predictor, ctx, vols: jnp.ndarray, tta: bool,
+                            output_mode: str):
+    """N same-shape volumes, whole-volume forward in one dispatch: the TTA
+    variants of every volume share one leading axis (group i = rows
+    [i*V, (i+1)*V)), mirroring ``_sliding_window_full_batch``."""
+    n = vols.shape[0]
+    v = 4 if tta else 1
+    variants = jnp.concatenate(
+        [_make_variants(vols[i], tta) for i in range(n)], axis=0)
+    preds = _as_list(predictor(ctx, variants))
+    outs = []
+    for p in preds:
+        g = p.astype(jnp.float32).reshape((n, v) + p.shape[1:])
+        merged = jnp.stack([_unflip_mean(g[i], tta) for i in range(n)])
+        outs.append(_finalize(merged, output_mode))
+    return outs
+
+
 class Inferer:
     """``Inferer(testing_cfg).run(predictor, ctx, image)``.
 
@@ -768,6 +787,15 @@ class Inferer:
 
             return fetch_fallback
 
+        return self._batch_core(predictor, ctx, images, tta, window, stride)
+
+    def _batch_core(self, predictor: Callable, ctx, images, tta: bool,
+                    window, stride) -> Callable:
+        """Shared batched sliding-window dispatch: ``images [N, C, *img]``
+        (host layout) through ONE program; returns the fetch closure with
+        batched=True host formatting."""
+        n = images.shape[0]
+        img_shape = images.shape[2:]
         vols = jnp.asarray(np.moveaxis(images, 1, -1))   # [N, *img, C]
         if self.compute_dtype is not None:
             vols = vols.astype(self.compute_dtype)
@@ -788,6 +816,57 @@ class Inferer:
                                       tuple(img_shape), 1)
         return self._finish_outputs(outs, batched=True)
 
+    def run_passes_async(self, group_predictor: Callable, ctx, image,
+                         n_passes: int,
+                         tta_override: Optional[bool] = None) -> Callable:
+        """Fold N stochastic/ensemble passes over ONE volume into ONE
+        program dispatch (SURVEY section 5.7: "6x FPL passes folded into a
+        vmapped rng axis") — on a latency-bound serving link the per-volume
+        cost IS the dispatch, so this is worth up to N x on the FPL
+        uncertainty pass and on ckpt_mode-3 ensembles.
+
+        ``group_predictor(ctx, x)`` must treat its patch batch ``x`` as
+        ``n_passes`` equal row-major groups (group i = rows
+        ``[i*B/N, (i+1)*B/N)``) and apply pass i's randomness/parameters to
+        group i — typically ``jax.vmap`` over a stacked rng-key/params leaf
+        in ``ctx`` (see SegmentationAgent._patch_forward_mc/_ens).
+        ``fetch()`` returns one ``[N, K, *img]`` array per head, pass i's
+        full inference (TTA + sliding window + overlap averaging) at row i
+        — voxel-identical to N sequential ``run_async`` calls with the
+        per-pass ctx. Not supported on a device mesh (the shard_map grid
+        path has no group axis) — callers fall back to ``run_mc``."""
+        if self.mesh is not None:
+            raise ValueError('run_passes_async does not support a mesh; '
+                             'use per-pass run_async instead')
+        image = np.asarray(image)
+        assert image.shape[0] == 1, 'run_passes folds passes over ONE volume'
+        images = np.repeat(image, n_passes, axis=0)   # [N, C, *img]
+        tta_mode = self.config.get('tta_mode', 0)
+        tta = bool(tta_mode) if tta_override is None else tta_override
+        img_shape = images.shape[2:]
+        dim = len(img_shape)
+        use_sw, window, stride = self._resolve_sw(img_shape)
+        whole = all(window[d] >= img_shape[d] for d in range(dim))
+        if use_sw and not whole:
+            return self._batch_core(group_predictor, ctx, images, tta,
+                                    window, stride)
+        # whole-volume fold: autopad like run_async, batched program
+        device_mode = 'label' if self.packed else self.output_mode
+        vols = jnp.asarray(np.moveaxis(images, 1, -1))
+        if self.compute_dtype is not None:
+            vols = vols.astype(self.compute_dtype)
+        mult = self.config.get('infer_autopad_multiple', 16)
+        pads = [(-s) % mult for s in img_shape]
+        if any(pads):
+            vols = jnp.pad(vols, [(0, 0)] + [(0, p) for p in pads]
+                           + [(0, 0)], mode='reflect')
+        outs = _whole_volume_batch_jit(group_predictor, ctx, vols, tta,
+                                       device_mode)
+        if any(pads):
+            outs = self._crop_margins(outs, vols.shape[1:-1],
+                                      tuple(img_shape), 1)
+        return self._finish_outputs(outs, batched=True)
+
     def run_mc(self, predictor: Callable, ctx_factory: Callable, image,
                rngs: List, tta_override: Optional[bool] = None
                ) -> List[np.ndarray]:
@@ -796,7 +875,11 @@ class Inferer:
         (reference agent_seg.py:897-931 — 6 stochastic passes). The compiled
         program is shared across passes (only ctx changes); all passes are
         dispatched before any result is fetched so the device runs them
-        back-to-back while finished outputs stream to the host."""
+        back-to-back while finished outputs stream to the host.
+
+        This is the unfused fallback (and the parity oracle in tests) —
+        the production FPL pass folds all passes into one dispatch via
+        ``run_passes_async``."""
         fetches = [self.run_async(predictor, ctx_factory(rng), image,
                                   tta_override) for rng in rngs]
         return [fetch() for fetch in fetches]

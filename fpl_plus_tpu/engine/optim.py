@@ -10,21 +10,81 @@ byte-identical copy in net_run_dsbn/):
   Adam eps 1e-8, SGD momentum without Nesterov. SparseAdam maps to Adam
   (JAX arrays are dense); ASGD maps to SGD (torch's ASGD averaging only
   affects the .swa weights the reference never reads); LBFGS uses
-  optax.lbfgs; Rprop uses optax.contrib if present.
+  optax.lbfgs WITHOUT a line search — torch's LBFGS default is
+  ``line_search_fn=None`` (fixed ``lr``-sized steps along the two-loop
+  direction), and that is also the only mode the generic ``update()`` call
+  site can drive; Rprop is a first-party transform with torch's exact
+  semantics (etas 0.5/1.2, step sizes clamped to [1e-6, 50], sign-change
+  gradient zeroing) — optax 0.2.6 ships no rprop. Every registry name
+  runs a real train step in tests/test_optim.py; unknown names fail at
+  config-parse time (create_optimizer), never mid-training.
 * schedules: MultiStepLR (milestones x gamma, resumable via ``last_iter``)
   and ReduceLROnPlateau (max-mode on validation dice, patience in
-  iterations / iter_valid) — the plateau controller is host-side state that
-  rescales the injected learning rate between steps.
+  iterations / iter_valid, torch threshold/cooldown/min_lr semantics) —
+  the plateau controller is host-side state that rescales the injected
+  learning rate between steps.
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable, NamedTuple, Optional
 
+import jax
+import jax.numpy as jnp
 import optax
 
 
 def _keyword_match(a: str, b: str) -> bool:
     return a.lower() == b.lower()
+
+
+class RpropState(NamedTuple):
+    step_size: optax.Updates
+    prev_grad: optax.Updates
+
+
+def rprop(learning_rate: float, eta_minus: float = 0.5,
+          eta_plus: float = 1.2, step_min: float = 1e-6,
+          step_max: float = 50.0) -> optax.GradientTransformation:
+    """Resilient backpropagation with torch.optim.Rprop semantics
+    (defaults lr step init, etas=(0.5, 1.2), step_sizes=(1e-6, 50)):
+
+    * sign agreement with the previous gradient grows the per-element step
+      size by ``eta_plus`` (capped at ``step_max``); disagreement shrinks it
+      by ``eta_minus`` (floored at ``step_min``) AND zeroes the gradient for
+      this update, so the element takes no step and the next sign
+      comparison sees 0 (torch's ``grad[sign < 0] = 0`` + prev=grad store);
+    * the update is ``-sign(grad) * step_size``.
+
+    The first update has prev_grad 0 (sign product 0 -> no resize), i.e. a
+    plain ``lr``-sized sign step, exactly like torch."""
+
+    def init_fn(params):
+        return RpropState(
+            step_size=jax.tree_util.tree_map(
+                lambda p: jnp.full_like(p, learning_rate,
+                                        dtype=jnp.float32), params),
+            prev_grad=jax.tree_util.tree_map(
+                lambda p: jnp.zeros_like(p, dtype=jnp.float32), params))
+
+    def update_fn(updates, state, params=None):
+        del params
+        tm = jax.tree_util.tree_map
+        sign = tm(lambda g, prev: g.astype(jnp.float32) * prev,
+                  updates, state.prev_grad)
+        new_steps = tm(
+            lambda s, step: jnp.where(
+                s > 0, jnp.minimum(step * eta_plus, step_max),
+                jnp.where(s < 0, jnp.maximum(step * eta_minus, step_min),
+                          step)),
+            sign, state.step_size)
+        new_prev = tm(lambda s, g: jnp.where(s < 0, 0.0,
+                                             g.astype(jnp.float32)),
+                      sign, updates)
+        upd = tm(lambda g, step, p: (-jnp.sign(g) * step).astype(p.dtype),
+                 new_prev, new_steps, updates)
+        return upd, RpropState(step_size=new_steps, prev_grad=new_prev)
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def _base_optimizer(name: str, lr, momentum: float, weight_decay: float):
@@ -42,15 +102,17 @@ def _base_optimizer(name: str, lr, momentum: float, weight_decay: float):
     if _keyword_match(name, 'ASGD'):
         return optax.chain(*wd, optax.sgd(lr))
     if _keyword_match(name, 'LBFGS'):
-        return optax.lbfgs(lr)
+        # linesearch=None = torch LBFGS default (line_search_fn=None):
+        # fixed lr-sized steps along the two-loop direction. optax's
+        # default zoom linesearch needs value/grad/value_fn kwargs the
+        # generic update() call site cannot provide.
+        return optax.lbfgs(lr, linesearch=None)
     if _keyword_match(name, 'RMSprop'):
         return optax.chain(*wd, optax.rmsprop(lr, momentum=momentum or 0.0,
                                               eps=1e-8))
     if _keyword_match(name, 'Rprop'):
-        try:
-            return optax.contrib.rprop(lr)
-        except AttributeError:
-            return optax.chain(*wd, optax.sgd(lr))
+        # torch.optim.Rprop takes no weight_decay argument — no wd chain
+        return rprop(lr)
     raise ValueError('unsupported optimizer {0}'.format(name))
 
 
@@ -103,7 +165,12 @@ def create_optimizer(optim_cfg: dict, sched_params: dict,
 class PlateauScheduler:
     """Host-side ReduceLROnPlateau (max mode on validation dice), parity
     with the reference wiring (get_optimizer.py:44-50: patience =
-    ReduceLROnPlateau_patience / iter_valid, factor = lr_gamma)."""
+    ReduceLROnPlateau_patience / iter_valid, factor = lr_gamma) AND with
+    torch.optim.lr_scheduler.ReduceLROnPlateau's full semantics: relative
+    improvement threshold (torch default 1e-4 — micro-improvements below it
+    count as plateau steps), post-reduction cooldown, and a min_lr floor.
+    Optional config keys (iteration-denominated like patience):
+    ``reducelronplateau_threshold`` / ``_cooldown`` / ``_min_lr``."""
 
     def __init__(self, sched_params: dict):
         name = sched_params.get('lr_scheduler', None)
@@ -112,22 +179,42 @@ class PlateauScheduler:
         if not self.enabled:
             return
         self.factor = sched_params['lr_gamma']
+        iter_valid = sched_params['iter_valid']
         patience_it = sched_params['reducelronplateau_patience']
-        self.patience = patience_it / sched_params['iter_valid']
+        self.patience = patience_it / iter_valid
+        self.threshold = sched_params.get('reducelronplateau_threshold',
+                                          1e-4)
+        cooldown_it = sched_params.get('reducelronplateau_cooldown', 0)
+        self.cooldown = cooldown_it / iter_valid
+        base_lr = sched_params.get('learning_rate', 0.0)
+        min_lr = sched_params.get('reducelronplateau_min_lr', 0.0)
+        self.min_scale = (min_lr / base_lr) if base_lr else 0.0
         self.best = float('-inf')
         self.num_bad = 0
+        self.cooldown_counter = 0.0
         self.scale = 1.0
+
+    def _is_better(self, metric: float) -> bool:
+        """torch mode='max', threshold_mode='rel':
+        a > best * (1 + threshold)."""
+        if self.best == float('-inf'):
+            return True
+        return metric > self.best * (1.0 + self.threshold)
 
     def step(self, metric: float) -> float:
         """Feed a validation metric; returns the current LR scale."""
         if not self.enabled:
             return 1.0
-        if metric > self.best:
+        if self._is_better(metric):
             self.best = metric
             self.num_bad = 0
         else:
             self.num_bad += 1
-            if self.num_bad > self.patience:
-                self.scale *= self.factor
-                self.num_bad = 0
+        if self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.num_bad = 0
+        if self.num_bad > self.patience:
+            self.scale = max(self.scale * self.factor, self.min_scale)
+            self.cooldown_counter = self.cooldown
+            self.num_bad = 0
         return self.scale

@@ -33,6 +33,26 @@ from flax import struct
 from fpl_plus_tpu.losses.util import get_classwise_dice, reshape_to_2d
 
 
+def donation_safe(optimizer_name) -> bool:
+    """Whether the per-iteration step may donate its TrainState buffers.
+
+    LBFGS and Rprop opt_states hold several identical CONSTANT leaves for
+    their first steps (zero curvature memory / zero prev-gradient slots);
+    XLA's buffer assignment deduplicates equal constant outputs into one
+    buffer, so the next donated call sees the same buffer behind two
+    arguments and aborts with 'Attempt to donate the same buffer twice'.
+    Every other registry optimizer's state diverges after step 1 and
+    donates safely."""
+    return (optimizer_name or '').lower() not in ('lbfgs', 'rprop')
+
+
+def jit_train_step(step: Callable, optimizer_name=None, **jit_kwargs):
+    """jit a (state, ...) -> (state, metrics) step, donating the state
+    unless ``optimizer_name`` is donation-unsafe (see donation_safe)."""
+    donate = (0,) if donation_safe(optimizer_name) else ()
+    return jax.jit(step, donate_argnums=donate, **jit_kwargs)
+
+
 class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: Any
@@ -88,7 +108,8 @@ def _domain_loss(apply_fn, params, batch_stats, batch, domain, rng,
 def make_train_step(apply_fn: Callable, loss_calculator: Callable,
                     optimizer, num_domains: int = 1, joint: bool = True,
                     fpl_uda: bool = False, entropy_coeff: float = 0.0,
-                    compute_dtype=None):
+                    compute_dtype=None, optimizer_name=None,
+                    fused_domains: bool = True):
     """Build the jitted per-iteration step.
 
     ``batches`` is a tuple of per-domain batch dicts (length num_domains),
@@ -98,9 +119,78 @@ def make_train_step(apply_fn: Callable, loss_calculator: Callable,
 
     ``compute_dtype`` (e.g. ``jnp.bfloat16``) runs forward/backward in that
     dtype with f32 master params / DSBN stats / loss (utils/precision.py).
+
+    ``fused_domains`` (joint path): run the per-domain forwards as ONE
+    ``jax.vmap`` over a stacked domain axis instead of two sequential
+    ``apply`` calls — every conv sees a 2x batch, which feeds the MXU
+    larger matmuls (the reference runs two sequential ``net()`` calls,
+    agent_seg.py:336-372). EXACT semantics: domain lane d computes its
+    batch stats over its own half and updates only DSBN row d, so merging
+    the per-lane stat updates on the diagonal reproduces the sequential
+    result bit-for-bit up to conv-batching reduction order. Requires equal
+    per-domain batch shapes (the dual-training contract); disable with
+    ``[training] fused_domain_forward = False``.
     """
     from fpl_plus_tpu.utils.precision import cast_apply_fn
     apply_fn = cast_apply_fn(apply_fn, compute_dtype)
+
+    def _fused_forward(params, batch_stats, batches, rngs):
+        """One vmapped forward over the stacked domain axis; returns
+        (per-domain outputs pytree with leading lane axis, merged stats)."""
+        xs = jnp.stack([b['image'] for b in batches])
+        domains = jnp.arange(num_domains, dtype=jnp.int32)
+
+        def fwd(x, d, r):
+            return apply_fn({'params': params, 'batch_stats': batch_stats},
+                            x, d, True, rngs={'dropout': r},
+                            mutable=['batch_stats'])
+
+        outs, updated = jax.vmap(fwd)(xs, domains, jnp.stack(rngs))
+        # lane d only rewrote DSBN row d ([nd, C] leaves): the diagonal
+        # over (lane, row) recovers the sequential update exactly
+        diag = jnp.arange(num_domains)
+        new_bs = jax.tree_util.tree_map(lambda l: l[diag, diag],
+                                        updated['batch_stats'])
+        return outs, new_bs
+
+    def step_joint_fused(state: TrainState, batches, rng):
+        rngs = jax.random.split(rng, num_domains)
+
+        def loss_fn(params):
+            outs, new_bs = _fused_forward(params, state.batch_stats,
+                                          batches, rngs)
+            total = 0.0
+            logits_all = []
+            for d in range(num_domains):
+                out_d = jax.tree_util.tree_map(lambda a, d=d: a[d], outs)
+                primary = out_d[0] if isinstance(out_d, (tuple, list)) \
+                    else out_d
+                loss_input = {'prediction': out_d,
+                              'ground_truth': batches[d]['label_prob']}
+                if fpl_uda and 'pixel_weight' in batches[d]:
+                    loss_input['pixel_weight'] = batches[d]['pixel_weight']
+                    if 'image_weight' in batches[d]:
+                        loss_input['image_weight'] = \
+                            batches[d]['image_weight']
+                loss_d = loss_calculator(loss_input)
+                if entropy_coeff:
+                    loss_d = loss_d + entropy_coeff * entropy_log2(primary)
+                total = total + loss_d
+                logits_all.append(primary)
+            return total / num_domains, (logits_all, new_bs)
+
+        (loss, (logits_all, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state,
+                                            state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {'loss': loss}
+        for d in range(num_domains):
+            metrics['class_dice_{0}'.format(d)] = train_dice(
+                logits_all[d], batches[d]['label_prob'])
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_bs, opt_state=new_opt)
+        return new_state, metrics
 
     def step_joint(state: TrainState, batches, rng):
         rngs = jax.random.split(rng, num_domains)
@@ -158,14 +248,18 @@ def make_train_step(apply_fn: Callable, loss_calculator: Callable,
         state = state.replace(step=state.step + 1)
         return state, metrics
 
-    step = step_joint if joint else step_alternating
-    return jax.jit(step, donate_argnums=(0,))
+    if joint:
+        step = step_joint_fused if (fused_domains and num_domains > 1) \
+            else step_joint
+    else:
+        step = step_alternating
+    return jit_train_step(step, optimizer_name)
 
 
 def make_dual_consistency_step(apply_fn: Callable, loss_calculator: Callable,
                                optimizer, fpl_uda: bool = False,
                                entropy_coeff: float = 1.0,
-                               compute_dtype=None):
+                               compute_dtype=None, optimizer_name=None):
     """The reference's ``training_dual_doamian`` variant
     (net_run_dsbn/agent_seg.py:157-290) with the evidently-intended
     backward/optimizer steps restored (the snapshot lacks them):
@@ -248,7 +342,7 @@ def make_dual_consistency_step(apply_fn: Callable, loss_calculator: Callable,
         metrics['loss_consis'] = consis
         return state, metrics
 
-    return jax.jit(step, donate_argnums=(0,))
+    return jit_train_step(step, optimizer_name)
 
 
 def make_eval_step(apply_fn: Callable, loss_calculator: Callable):

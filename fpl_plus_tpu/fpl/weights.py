@@ -43,9 +43,11 @@ def compute_pixel_weights(pseudo_target_dir: str,
         b = load_image_as_nd_array(
             os.path.join(pseudo_fake_source_dir, name))['data_array'][0]
         assert a.shape == b.shape
-        both = np.minimum(a + b, 1)
-        xor = both - a * b
-        weight = np.ones_like(xor, np.float32) - xor.astype(np.float32) * 0.5
+        # label disagreement: (a != b) — identical to the reference's
+        # binary XOR (min(a+b,1) - a*b) on {0,1} labels, and the correct
+        # generalization for multi-class (MMWHS-style) pseudo-labels
+        disagree = (a != b)
+        weight = np.where(disagree, np.float32(0.5), np.float32(1.0))
         out_path = os.path.join(output_dir, name)
         save_nd_array_as_image(weight, out_path,
                                os.path.join(pseudo_target_dir, name))

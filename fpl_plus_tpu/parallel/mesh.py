@@ -104,7 +104,8 @@ def shard_batch(tree, mesh: Mesh, axis: str = 'data'):
 
 
 def make_sharded_train_step(train_step: Callable, mesh: Mesh,
-                            axis: str = 'data') -> Callable:
+                            axis: str = 'data',
+                            optimizer_name=None) -> Callable:
     """Wrap a train step with state-replicated / batch-sharded constraints.
 
     Any extra positional arguments after ``(state, batches, rng)`` (e.g. the
@@ -125,7 +126,8 @@ def make_sharded_train_step(train_step: Callable, mesh: Mesh,
         new_state = jax.lax.with_sharding_constraint(new_state, repl)
         return new_state, metrics
 
-    return jax.jit(sharded, donate_argnums=(0,))
+    from fpl_plus_tpu.engine.train import jit_train_step
+    return jit_train_step(sharded, optimizer_name)
 
 
 def sharded_sliding_window(predictor: Callable, window: Tuple[int, ...],

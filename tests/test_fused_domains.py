@@ -1,0 +1,84 @@
+"""Fused dual-domain train step (one vmapped forward over the domain axis,
+engine/train.py make_train_step fused_domains=True) vs the sequential
+two-apply joint step: losses, gradients' effect on params, and — crucially —
+the per-domain DSBN running-stat updates must match (each lane only touches
+its own bank row, so the diagonal merge is exact)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fpl_plus_tpu.engine.optim import create_optimizer
+from fpl_plus_tpu.engine.train import create_train_state, make_train_step
+from fpl_plus_tpu.losses import SegLossDict
+from fpl_plus_tpu.models.registry import create_network, init_network
+
+NET_CFG = {'net_type': 'UNet2D5_dsbn', 'num_domains': 2, 'class_num': 2,
+           'in_chns': 1, 'feature_chns': [4, 8, 8, 8, 8],
+           'conv_dims': [2, 2, 3, 3, 3],
+           'dropout': [0.0, 0.0, 0.0, 0.0, 0.0], 'bilinear': False}
+
+
+def _batches(rs, with_weights=False):
+    out = []
+    for d in range(2):
+        x = rs.normal(size=(2, 8, 16, 16, 1)).astype(np.float32)
+        y = (x[..., 0] > 0.5).astype(np.int32)
+        b = {'image': jnp.asarray(x),
+             'label_prob': jnp.asarray(np.eye(2, dtype=np.float32)[y])}
+        if with_weights and d == 1:
+            b['pixel_weight'] = jnp.asarray(
+                rs.uniform(0, 1, x.shape).astype(np.float32))
+            b['image_weight'] = jnp.asarray(
+                rs.uniform(0.5, 1, (2,)).astype(np.float32))
+        out.append(b)
+    return tuple(out)
+
+
+def _run(fused, with_weights, n_steps=3):
+    module = create_network(NET_CFG)
+    params, batch_stats = init_network(module, NET_CFG, seed=2)
+    optimizer = create_optimizer(
+        {'optimizer': 'Adam', 'learning_rate': 1e-3, 'momentum': 0.9,
+         'weight_decay': 0.0}, {'lr_scheduler': None})
+    state = create_train_state(params, batch_stats, optimizer)
+    step = make_train_step(module.apply, SegLossDict['DiceLoss']({}),
+                           optimizer, num_domains=2, joint=True,
+                           fpl_uda=with_weights, entropy_coeff=0.0,
+                           fused_domains=fused)
+    rs = np.random.RandomState(4)
+    rng = jax.random.PRNGKey(11)
+    losses = []
+    for _ in range(n_steps):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, _batches(rs, with_weights), sub)
+        losses.append(float(metrics['loss']))
+    host = jax.tree_util.tree_map(np.asarray,
+                                  {'params': state.params,
+                                   'batch_stats': state.batch_stats})
+    return losses, host, metrics
+
+
+def test_fused_matches_sequential_plain():
+    l_seq, s_seq, m_seq = _run(fused=False, with_weights=False)
+    l_fus, s_fus, m_fus = _run(fused=True, with_weights=False)
+    np.testing.assert_allclose(l_fus, l_seq, rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_seq['batch_stats']),
+                    jax.tree_util.tree_leaves(s_fus['batch_stats'])):
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_seq['params']),
+                    jax.tree_util.tree_leaves(s_fus['params'])):
+        np.testing.assert_allclose(b, a, rtol=5e-3, atol=2e-5)
+    for d in range(2):
+        np.testing.assert_allclose(
+            np.asarray(m_fus['class_dice_{0}'.format(d)]),
+            np.asarray(m_seq['class_dice_{0}'.format(d)]), atol=1e-5)
+
+
+def test_fused_matches_sequential_fpl_weights():
+    """The FPL-weighted loss path (pixel_weight/image_weight on the target
+    domain only) flows identically through the fused forward."""
+    l_seq, _, _ = _run(fused=True, with_weights=True)
+    l_unw, _, _ = _run(fused=True, with_weights=False)
+    l_ref, _, _ = _run(fused=False, with_weights=True)
+    np.testing.assert_allclose(l_seq, l_ref, rtol=2e-5)
+    assert l_seq != l_unw   # the weights are load-bearing
