@@ -806,7 +806,17 @@ class Inferer:
             vols = jnp.pad(vols, [(0, 0)] + [(0, p) for p in pads]
                            + [(0, 0)], mode='edge')
         pads_arr = None if pads is None else jnp.asarray(pads, jnp.int32)
-        unroll = n * target * (4 if tta else 1) <= 256
+        # straight-line accumulation policy for batched programs: the
+        # update count PER GROUP (target * V) is what competes with that
+        # group's forward compute — both scale linearly with n, so the
+        # per-group bound (same 256 as the single-volume path) is the
+        # right gate; the absolute cap only bounds program size / compile
+        # time (paid once per shape bucket). Round-2's `n * target * V <=
+        # 256` silently dropped B>=4 serving onto the slow scan-carried
+        # accumulators (the measured B=8 regression).
+        v = 4 if tta else 1
+        unroll = (target * v <= self.config.get('infer_unroll_max', 256)
+                  and n * target * v <= 4096)
         outs = _sliding_window_full_batch(
             predictor, ctx, vols, jnp.asarray(starts),
             jnp.asarray(weights), tuple(window), chunk, tta, device_mode,
