@@ -241,9 +241,11 @@ class _MCPredictor:
 
 def bench_fpl_pass(module, variables, img) -> float:
     """The FPL uncertainty hot loop (reference agent_seg.py:897-931): 6
-    MC-dropout passes x (sliding window + 4-flip TTA) per volume — folded
-    into ONE program dispatch (Inferer.run_passes_async). Reported as
-    volumes/sec where one volume = all 6 stochastic passes."""
+    MC-dropout passes x (sliding window + 4-flip TTA) per volume, folded
+    into ONE program dispatch with the image-level uncertainty reduction
+    ON DEVICE (Inferer.run_fpl_uncertainty — the fetch is two scalars,
+    not 6 probability volumes, which dominates on a transfer-bound link).
+    Reported as volumes/sec where one volume = all 6 stochastic passes."""
     import jax
     import jax.numpy as jnp
     from fpl_plus_tpu.engine.infer import Inferer
@@ -251,19 +253,20 @@ def bench_fpl_pass(module, variables, img) -> float:
     test_cfg = {'sliding_window_enable': True,
                 'sliding_window_size': [28, 128, 128],
                 'sliding_window_stride': [28, 128, 128],
-                'tta_mode': 1, 'class_num': 2, 'output_mode': 'prob'}
+                'tta_mode': 1, 'class_num': 2, 'output_mode': 'logits'}
     inferer = Inferer(test_cfg, patch_chunk=2)
     pred = _MCPredictor(module)
-    keys = jax.random.split(jax.random.PRNGKey(7), 6)
+    keys = jnp.stack(jax.random.split(jax.random.PRNGKey(7), 6))
     ctx = (variables, jnp.int32(1), keys)
-    inferer.run_passes_async(pred, ctx, img, 6)()     # warmup / compile
+    margins = ([0, 0, 0], [0, 0, 0])
+    inferer.run_fpl_uncertainty(pred, ctx, img, 6, margins)()   # compile
 
     def measure():
         n_rep = 4
         t0 = time.time()
         pending = None
         for _ in range(n_rep):
-            fetch = inferer.run_passes_async(pred, ctx, img, 6)
+            fetch = inferer.run_fpl_uncertainty(pred, ctx, img, 6, margins)
             if pending is not None:
                 pending()
             pending = fetch

@@ -170,14 +170,55 @@ class SegmentationAgent(NetRunAgent):
         out = jax.vmap(one)(stacked, xg)
         return out.reshape((-1,) + out.shape[2:])
 
+    def _selection_margins(self, data, dim):
+        """Compose the test chain's inverse transforms into one spatial
+        selection ``(margin_lower, margin_upper)`` when every active
+        inverse is a pure crop (the production chain is
+        [NormalizeWithMeanStd, Pad] — reference vs_t1s_g.cfg:test_transform
+        — whose only inverse, Pad's, crops). None when any inverse
+        synthesizes voxels; callers then fall back to the host logits
+        path. Successive crops compose by adding margins (crop [lo1,
+        s-up1) then [lo2, s'-up2) selects [lo1+lo2, s-up1-up2) of the
+        original). Drives both device-side reductions: the FPL
+        uncertainty scalars and the device-argmax label fast path."""
+        lo = [0] * dim
+        up = [0] * dim
+        for transform in self.transform_list[::-1]:
+            if not transform.inverse:
+                continue
+            sel = transform.inverse_selection(data)
+            if sel is None:
+                return None
+            ml, mu = sel
+            lo = [a + int(b) for a, b in zip(lo, ml)]
+            up = [a + int(b) for a, b in zip(up, mu)]
+        return lo, up
+
     def _make_inferer(self) -> Inferer:
         infer_cfg = dict(self.config['testing'])
         infer_cfg['class_num'] = self.config['network']['class_num']
-        # the agent's save/FPL/validation paths softmax+argmax on host and
-        # run inverse transforms on logits; device-side output modes are
-        # for direct Inferer users only
+        # the agent's host fallback paths softmax+argmax on host and run
+        # inverse transforms on logits; the production save path uses the
+        # device-label inferer below instead
         infer_cfg['output_mode'] = 'logits'
         return Inferer(infer_cfg, mesh=self.get_mesh())
+
+    def _label_inferer(self) -> Inferer:
+        """Device-argmax serving inferer for the save path: softmax is
+        monotonic, so ``save_outputs``'s softmax->argmax equals argmax of
+        the logits — computed on device, the per-volume fetch is a uint8
+        label map (bit-packed when binary: ~1/32 of it) instead of K f32
+        logit volumes, the dominant cost on the measured transfer-bound
+        serving link (BASELINE.md). Single-device only; the mesh path
+        keeps the logits contract."""
+        if getattr(self, '_label_inf', None) is None:
+            infer_cfg = dict(self.config['testing'])
+            k = self.config['network']['class_num']
+            infer_cfg['class_num'] = k
+            # packbits thresholds at nonzero: binary labels only
+            infer_cfg['output_mode'] = 'packed_label' if k == 2 else 'label'
+            self._label_inf = Inferer(infer_cfg, mesh=None)
+        return self._label_inf
 
     # -- training -----------------------------------------------------------
     def _batch_sharding(self):
@@ -738,14 +779,38 @@ class SegmentationAgent(NetRunAgent):
             # compute (run_async). On a transfer-bound link this roughly
             # halves test-stage wall time with identical outputs.
             pending = None    # (fetch, data, t0)
+            pending_fpl = None    # (fetch, name) — device-reduced FPL pass
+
+            def _finish_fpl(entry):
+                p_fetch, p_name = entry
+                vars_, boundary = p_fetch()
+                uncer_one = 1 if boundary < 50 else vars_ / boundary
+                uncertainty_list[p_name] = [uncer_one]
+                logging.info('%s %s', p_name, uncer_one)
 
             def _finish(entry):
-                fetch, p_data, p_t0 = entry
-                p_data['predict'] = fetch()
-                for transform in self.transform_list[::-1]:
-                    if transform.inverse:
-                        p_data = transform.inverse_transform_for_prediction(
-                            p_data)
+                fetch, p_data, p_t0, p_margins = entry
+                if p_margins is not None:
+                    # device-label fast path: the fetch is the argmaxed
+                    # uint8 map; the inverse-transform chain reduces to
+                    # the composed selection crop (argmax commutes with
+                    # voxel selection)
+                    label = fetch()
+                    if isinstance(label, list):
+                        label = label[0]
+                    label = np.asarray(label)      # [1, *img] uint8
+                    lo, up = p_margins
+                    slicer = (slice(None),) + tuple(
+                        slice(l, s - u) for l, u, s in
+                        zip(lo, up, label.shape[1:]))
+                    p_data['predict_label'] = label[slicer]
+                else:
+                    p_data['predict'] = fetch()
+                    for transform in self.transform_list[::-1]:
+                        if transform.inverse:
+                            p_data = \
+                                transform.inverse_transform_for_prediction(
+                                    p_data)
                 infer_times.append(time.time() - p_t0)
                 self.save_outputs(p_data)
 
@@ -759,8 +824,30 @@ class SegmentationAgent(NetRunAgent):
                     t0 = time.time()
                     if fpl:
                         rng, *subs = jax.random.split(rng, 7)
+                        margins = None
                         if self.inferer.mesh is None:
+                            margins = self._selection_margins(
+                                data, images.ndim - 2)
+                        if margins is not None:
                             # production path: all 6 passes in ONE dispatch
+                            # AND the whole uncertainty reduction on device
+                            # — the fetch is two scalars, not 6 prob
+                            # volumes (transfer-bound link, BASELINE.md)
+                            name = data['names'][0]
+                            if isinstance(name, (list, tuple)):
+                                name = name[0]
+                            fetch = self.inferer.run_fpl_uncertainty(
+                                self._patch_forward_mc,
+                                (variables, jnp.int32(domain_label),
+                                 jnp.stack(subs)), images, 6, margins)
+                            if pending_fpl is not None:
+                                _finish_fpl(pending_fpl)
+                            pending_fpl = (fetch, name)
+                            continue
+                        if self.inferer.mesh is None:
+                            # host fallback (a non-selection inverse
+                            # transform in the chain): folded dispatch,
+                            # map fetch, host inverse + reduction
                             fetch6 = self.inferer.run_passes_async(
                                 self._patch_forward_mc,
                                 (variables, jnp.int32(domain_label),
@@ -818,14 +905,31 @@ class SegmentationAgent(NetRunAgent):
                         rng_td = None
                         if tt_dropout:
                             rng, rng_td = jax.random.split(rng)
-                        fetch = self.inferer.run_async(
-                            self._patch_forward,
-                            (variables, jnp.int32(domain_label), rng_td), images)
+                        margins = None
+                        if (self.inferer.mesh is None
+                                and cfg_test.get('infer_device_label',
+                                                 True)):
+                            margins = self._selection_margins(
+                                data, images.ndim - 2)
+                        if margins is not None:
+                            # production save path: device argmax, uint8
+                            # (bit-packed when binary) fetch
+                            fetch = self._label_inferer().run_async(
+                                self._patch_forward,
+                                (variables, jnp.int32(domain_label),
+                                 rng_td), images)
+                        else:
+                            fetch = self.inferer.run_async(
+                                self._patch_forward,
+                                (variables, jnp.int32(domain_label),
+                                 rng_td), images)
                         if pending is not None:
                             _finish(pending)
-                        pending = (fetch, data, t0)
+                        pending = (fetch, data, t0, margins)
             if pending is not None:
                 _finish(pending)
+            if pending_fpl is not None:
+                _finish_fpl(pending_fpl)
         finally:
             if profile_dir:
                 jax.profiler.stop_trace()
@@ -916,11 +1020,17 @@ class SegmentationAgent(NetRunAgent):
         self.output_dir = output_dir
         os.makedirs(output_dir, exist_ok=True)
 
-        names, pred = data['names'], data['predict']
-        if isinstance(pred, (list, tuple)):
-            pred = pred[0]
-        prob = scipy.special.softmax(np.asarray(pred), axis=1)
-        output = np.asarray(np.argmax(prob, axis=1), np.uint8)
+        names = data['names']
+        if 'predict_label' in data:
+            # device-label fast path: argmax already computed on device
+            # (softmax is monotonic, so softmax->argmax == argmax)
+            output = np.asarray(data['predict_label'], np.uint8)
+        else:
+            pred = data['predict']
+            if isinstance(pred, (tuple, list)):
+                pred = pred[0]
+            prob = scipy.special.softmax(np.asarray(pred), axis=1)
+            output = np.asarray(np.argmax(prob, axis=1), np.uint8)
         if label_source is not None and label_target is not None:
             output = convert_label(output, label_source, label_target)
         if self.postprocessor is not None:

@@ -332,6 +332,38 @@ def _packbits_jit(label):
     return jnp.packbits(label.reshape(-1))
 
 
+@jax.jit
+def _fpl_uncertainty_reduce(out, lo, up):
+    """Reduce folded-pass main-head logits ``[N, *img, K]`` to the FPL
+    image-level uncertainty scalars on device (reference agent_seg.py:
+    921-929: prob variance sum + entropy-threshold boundary count).
+
+    ``lo``/``up`` are per-spatial-axis selection margins (the composed
+    inverse-transform crop); masking the per-voxel maps is exactly
+    crop-then-reduce because variance over passes and mean-prob entropy
+    are computed voxel-wise before any spatial reduction."""
+    out = out.astype(jnp.float32)
+    probs = jax.nn.softmax(out, axis=-1)              # [N, *img, K]
+    dim = out.ndim - 2
+    mask = None
+    for d in range(dim):
+        idx = jax.lax.broadcasted_iota(jnp.int32, out.shape[1:-1], d)
+        m = (idx >= lo[d]) & (idx < out.shape[1 + d] - up[d])
+        mask = m if mask is None else (mask & m)
+    maskf = mask.astype(jnp.float32)
+    vars_sum = jnp.sum(probs.var(axis=0).sum(axis=-1) * maskf)
+    if out.shape[-1] == 2:
+        # binary reference formula: entropy term of the class-1 mean only
+        means = probs[..., 1].mean(axis=0)            # [*img]
+        unc = -(means * jnp.log(means + 1e-6))
+    else:
+        # multi-class generalization: full entropy of the mean softmax
+        means = probs.mean(axis=0)                    # [*img, K]
+        unc = -jnp.sum(means * jnp.log(means + 1e-6), axis=-1)
+    boundary = jnp.sum(((unc > 0.01) & mask).astype(jnp.int32))
+    return vars_sum, boundary
+
+
 def _finalize(out, output_mode: str):
     """Device-side head: 'logits' (parity default), 'prob' (softmax) or
     'label' (argmax uint8 — 8-16x less device->host traffic, the production
@@ -794,6 +826,16 @@ class Inferer:
         """Shared batched sliding-window dispatch: ``images [N, C, *img]``
         (host layout) through ONE program; returns the fetch closure with
         batched=True host formatting."""
+        outs = self._batch_core_dev(predictor, ctx, images, tta, window,
+                                    stride)
+        return self._finish_outputs(outs, batched=True)
+
+    def _batch_core_dev(self, predictor: Callable, ctx, images, tta: bool,
+                        window, stride):
+        """Device half of ``_batch_core``: dispatch the batched program and
+        return the margin-cropped per-head DEVICE arrays ``[N, *img, K]``
+        (channels last; still on device so callers can fuse a reduction
+        before any transfer)."""
         n = images.shape[0]
         img_shape = images.shape[2:]
         vols = jnp.asarray(np.moveaxis(images, 1, -1))   # [N, *img, C]
@@ -806,17 +848,17 @@ class Inferer:
             vols = jnp.pad(vols, [(0, 0)] + [(0, p) for p in pads]
                            + [(0, 0)], mode='edge')
         pads_arr = None if pads is None else jnp.asarray(pads, jnp.int32)
-        # straight-line accumulation policy for batched programs: the
-        # update count PER GROUP (target * V) is what competes with that
-        # group's forward compute — both scale linearly with n, so the
-        # per-group bound (same 256 as the single-volume path) is the
-        # right gate; the absolute cap only bounds program size / compile
-        # time (paid once per shape bucket). Round-2's `n * target * V <=
-        # 256` silently dropped B>=4 serving onto the slow scan-carried
-        # accumulators (the measured B=8 regression).
+        # straight-line accumulation policy for batched programs, set by
+        # steady-state A/B on the real chip (tools/r3_tpu_measure.py
+        # stage C, equal pipelining depth for every config): unrolled
+        # in-place accumulation wins up to ~512 total updates (B=2: 3.90
+        # vs 2.40 vol/s scan; B=4: 3.81 ~ 3.82 tie), beyond that XLA's
+        # straight-line scheduling degrades and compile time balloons
+        # (B=8: 1.68 unrolled / 33-833 s compiles vs 4.28 scan / 50 s),
+        # so large batches take the compact scan-carried loop.
         v = 4 if tta else 1
-        unroll = (target * v <= self.config.get('infer_unroll_max', 256)
-                  and n * target * v <= 4096)
+        unroll = n * target * v <= 2 * self.config.get(
+            'infer_unroll_max', 256)
         outs = _sliding_window_full_batch(
             predictor, ctx, vols, jnp.asarray(starts),
             jnp.asarray(weights), tuple(window), chunk, tta, device_mode,
@@ -824,7 +866,7 @@ class Inferer:
         if pads is not None and any(pads):
             outs = self._crop_margins(outs, vols.shape[1:-1],
                                       tuple(img_shape), 1)
-        return self._finish_outputs(outs, batched=True)
+        return outs
 
     def run_passes_async(self, group_predictor: Callable, ctx, image,
                          n_passes: int,
@@ -845,6 +887,14 @@ class Inferer:
         — voxel-identical to N sequential ``run_async`` calls with the
         per-pass ctx. Not supported on a device mesh (the shard_map grid
         path has no group axis) — callers fall back to ``run_mc``."""
+        outs = self._passes_dev(group_predictor, ctx, image, n_passes,
+                                tta_override)
+        return self._finish_outputs(outs, batched=True)
+
+    def _passes_dev(self, group_predictor: Callable, ctx, image,
+                    n_passes: int, tta_override: Optional[bool] = None):
+        """Device half of ``run_passes_async``: the folded N-pass program's
+        per-head DEVICE arrays ``[N, *img, K]`` before any transfer."""
         if self.mesh is not None:
             raise ValueError('run_passes_async does not support a mesh; '
                              'use per-pass run_async instead')
@@ -858,8 +908,8 @@ class Inferer:
         use_sw, window, stride = self._resolve_sw(img_shape)
         whole = all(window[d] >= img_shape[d] for d in range(dim))
         if use_sw and not whole:
-            return self._batch_core(group_predictor, ctx, images, tta,
-                                    window, stride)
+            return self._batch_core_dev(group_predictor, ctx, images, tta,
+                                        window, stride)
         # whole-volume fold: autopad like run_async, batched program
         device_mode = 'label' if self.packed else self.output_mode
         vols = jnp.asarray(np.moveaxis(images, 1, -1))
@@ -875,7 +925,56 @@ class Inferer:
         if any(pads):
             outs = self._crop_margins(outs, vols.shape[1:-1],
                                       tuple(img_shape), 1)
-        return self._finish_outputs(outs, batched=True)
+        return outs
+
+    def run_fpl_uncertainty(self, group_predictor: Callable, ctx, image,
+                            n_passes: int, margins=None,
+                            tta_override: Optional[bool] = None) -> Callable:
+        """FPL image-level uncertainty with the whole reduction ON DEVICE:
+        the folded N-pass program's main-head logits reduce to TWO scalars
+        — ``(vars_sum, boundary_count)`` — so the fetch ships 8 bytes
+        instead of N full probability volumes. On the measured
+        transfer-bound serving link the map fetch dominates the pass
+        (stage B, tools/r3_tpu_measure.py: 6 prob volumes ~ 385 MB ~ 4.5 s
+        at link bandwidth vs ~1.2 s of compute), so this is the production
+        FPL path; reference formula at agent_seg.py:921-929.
+
+        ``margins`` — optional ``(margin_lower, margin_upper)`` per spatial
+        axis: the composed voxel-selection of the host-side inverse
+        transform chain (e.g. Pad's inverse crop). The reduction masks to
+        the selected region, exactly matching crop-then-reduce because
+        variance/entropy are per-voxel. Scalars returned by ``fetch()``:
+
+        - ``vars_sum``  = softmax-prob variance over passes, summed over
+          every selected voxel and class (reference ``var.sum()``),
+        - ``boundary``  = count of selected voxels whose mean-prob entropy
+          term exceeds 0.01 (binary: class-1 term only; multi-class: full
+          entropy — agents apply the ``1 if boundary < 50`` fallback)."""
+        if self.output_mode not in ('logits',):
+            raise ValueError('run_fpl_uncertainty needs output_mode=logits '
+                             '(got {0})'.format(self.output_mode))
+        outs = self._passes_dev(group_predictor, ctx, image, n_passes,
+                                tta_override)
+        out = outs[0] if isinstance(outs, (tuple, list)) else outs
+        dim = out.ndim - 2
+        if margins is None:
+            lo = np.zeros(dim, np.int32)
+            up = np.zeros(dim, np.int32)
+        else:
+            lo = np.asarray(margins[0], np.int32)
+            up = np.asarray(margins[1], np.int32)
+        vars_sum, boundary = _fpl_uncertainty_reduce(
+            out, jnp.asarray(lo), jnp.asarray(up))
+        for o in (vars_sum, boundary):
+            try:
+                o.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
+
+        def fetch():
+            return float(vars_sum), int(boundary)
+
+        return fetch
 
     def run_mc(self, predictor: Callable, ctx_factory: Callable, image,
                rngs: List, tta_override: Optional[bool] = None

@@ -31,6 +31,16 @@ class AbstractTransform(object):
         raise ValueError('inverse transform not implemented for {0}'.format(
             type(self).__name__))
 
+    def inverse_selection(self, sample):
+        """When this transform's prediction inverse is a PURE spatial
+        selection — it keeps a contiguous sub-window of the prediction and
+        synthesizes no voxels (e.g. Pad's inverse crop) — return its
+        ``(margin_lower, margin_upper)`` per spatial axis for this sample;
+        otherwise None. Lets device-side reductions (FPL uncertainty,
+        engine/infer.py run_fpl_uncertainty) fold the inverse-transform
+        chain into a mask instead of round-tripping full volumes."""
+        return None
+
     # -- helpers ----------------------------------------------------------
     def param(self, name, default=..., ):
         """Fetch ``<Prefix>_<name>`` (lower-cased) from the config params."""

@@ -57,6 +57,10 @@ class Pad(AbstractTransform):
             sample['predict'] = crop(pred)
         return sample
 
+    def inverse_selection(self, sample):
+        # the prediction inverse is exactly a crop by the recorded margins
+        return tuple(self.load_inverse_param(sample))
+
 
 class Pad_dual(Pad):
     """Alias kept for registry parity (reference pad.py:13-102)."""

@@ -93,9 +93,14 @@ def get_euclidean_distance(image: np.ndarray, dim: int = 3,
 def convert_label(label: np.ndarray, source_list: Sequence[int],
                   target_list: Sequence[int]) -> np.ndarray:
     assert len(source_list) == len(target_list)
-    out = np.zeros_like(label)
+    # the output dtype must hold every target code: uint8 argmax maps
+    # converted to MMWHS raw codes (205..820) overflow their own dtype
+    out_dtype = np.result_type(label.dtype,
+                               np.min_scalar_type(int(max(target_list))),
+                               np.min_scalar_type(int(min(target_list))))
+    out = np.zeros(label.shape, out_dtype)
     for src, tgt in zip(source_list, target_list):
-        out = out + (label == src).astype(label.dtype) * tgt
+        out[label == src] = tgt
     return out
 
 

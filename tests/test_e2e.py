@@ -4,6 +4,7 @@ UNet2D5_dsbn for a few iterations on synthetic NIfTI volumes, auto-test with
 sliding-window+TTA inference, auto-evaluate -> all artifacts (checkpoints,
 pointer files, predictions, eval CSVs, scalar curves) must appear."""
 import os
+from unittest import mock
 
 import numpy as np
 import pytest
@@ -160,6 +161,36 @@ def test_cli_test_stage_reuses_best_ckpt(e2e_workspace):
     assert (e2e_workspace / 'result' / 'run1_test' / 'case1.nii.gz').exists()
 
 
+def test_device_label_save_parity(e2e_workspace):
+    """The device-argmax label save path (production default,
+    infer_device_label=True: uint8/bit-packed fetch + composed-selection
+    crop) writes voxel-identical outputs to the host logits path
+    (fetch logits -> inverse transforms -> softmax -> argmax), including
+    through REAL nonzero Pad margins recorded by the loader."""
+    from fpl_plus_tpu.agents.agent_seg import SegmentationAgent
+    from fpl_plus_tpu.config.parser import parse_config, synchronize_config
+    from fpl_plus_tpu.io.image_io import load_image_as_nd_array
+    cfg_file = _write_cfg(e2e_workspace)
+    if not (e2e_workspace / 'model' / 'run1' / 'run1_best.txt').exists():
+        from fpl_plus_tpu.cli import main
+        assert main(['train', cfg_file]) == 0
+    config = synchronize_config(parse_config(cfg_file))
+    # force a genuine pad: volume is 12x24x24, so margins (2,2)/(4,4)/(4,4)
+    config['dataset']['pad_output_size'] = [16, 32, 32]
+    outs = {}
+    for mode in (True, False):
+        config['testing']['infer_device_label'] = mode
+        config['testing']['output_dir'] = str(
+            e2e_workspace / 'result_dl_{0}'.format(mode))
+        agent = SegmentationAgent(config, 'test')
+        agent.run()
+        outs[mode] = load_image_as_nd_array(
+            str(e2e_workspace / 'result_dl_{0}'.format(mode) / 'run1_test'
+                / 'case1.nii.gz'))['data_array']
+    assert outs[True].shape == outs[False].shape
+    np.testing.assert_array_equal(outs[True], outs[False])
+
+
 def test_fpl_uncertainty_pass(e2e_workspace):
     """FPL filtering inference (fpl=True): 6 MC-dropout passes per volume,
     sorted uncertainty .npy (reference agent_seg.py:897-931,954-960)."""
@@ -171,6 +202,8 @@ def test_fpl_uncertainty_pass(e2e_workspace):
         assert main(['train', cfg_file]) == 0
     config = synchronize_config(parse_config(cfg_file))
     config['network']['dropout'] = [0.0, 0.0, 0.3, 0.4, 0.5]
+    # genuine nonzero Pad margins through the real loader chain
+    config['dataset']['pad_output_size'] = [16, 32, 32]
     config['testing']['fpl'] = True
     unc_path = str(e2e_workspace / 'unc_sorted.npy')
     config['testing']['fpl_uncertainty_sorted'] = unc_path
@@ -180,7 +213,22 @@ def test_fpl_uncertainty_pass(e2e_workspace):
     assert len(entries) == 1
     unc, name = entries[0]
     assert name.endswith('case1.nii.gz')
-    assert np.isfinite(float(np.asarray(unc).reshape(-1)[0]))
+    unc_device = float(np.asarray(unc).reshape(-1)[0])
+    assert np.isfinite(unc_device)
+
+    # contract: the device-reduced production path (run_fpl_uncertainty,
+    # 8-byte fetch) must reproduce the host fallback (map fetch + inverse
+    # transforms + reference formula) through the REAL agent/loader chain
+    # (Pad margins recorded by the loader workers, composed selection)
+    unc_path2 = str(e2e_workspace / 'unc_sorted_host.npy')
+    config['testing']['fpl_uncertainty_sorted'] = unc_path2
+    agent2 = SegmentationAgent(config, 'test')
+    with mock.patch.object(SegmentationAgent, '_selection_margins',
+                           return_value=None):
+        agent2.run()
+    unc_host = float(np.asarray(
+        np.load(unc_path2, allow_pickle=True)[0][0]).reshape(-1)[0])
+    assert unc_host == pytest.approx(unc_device, rel=1e-4)
 
 
 def test_cli_bad_args():

@@ -122,6 +122,68 @@ def test_ensemble_fold_matches_sequential(net):
     assert not np.allclose(fused[0], fused[2])
 
 
+def _host_uncertainty(maps, margins):
+    """The reference host reduction (agent_seg.py:921-929) on stacked
+    softmax probs [N, K, *img], cropped by (margin_lower, margin_upper)."""
+    lo, up = margins
+    slicer = (slice(None), slice(None)) + tuple(
+        slice(int(l), maps.shape[2 + d] - int(u))
+        for d, (l, u) in enumerate(zip(lo, up)))
+    maps = maps[slicer]
+    vars_ = maps.var(axis=0).sum()
+    if maps.shape[1] == 2:
+        means = np.mean(maps[:, 1], axis=0)
+        unc = -(means * np.log(means + 1e-6))
+    else:
+        means = np.mean(maps, axis=0)
+        unc = -np.sum(means * np.log(means + 1e-6), axis=0)
+    return vars_, int((unc > 0.01).sum())
+
+
+@pytest.mark.parametrize('sw,k', [(True, 2), (False, 2), (True, 5)])
+def test_fpl_device_reduce_matches_host(sw, k):
+    """run_fpl_uncertainty (on-device softmax+var+entropy reduction with a
+    margin mask) == run_passes_async maps -> host crop -> reference
+    formula, for binary and multi-class heads, sliding-window and
+    whole-volume paths."""
+    import scipy.special
+    cfg_net = dict(NET_CFG, class_num=k)
+    module = create_network(cfg_net)
+    params, batch_stats = init_network(module, cfg_net, seed=3)
+    variables = {'params': params, 'batch_stats': batch_stats}
+    netw = _Net(module)
+    img = np.random.RandomState(7).normal(
+        size=(1, 1, 12, 20, 24)).astype(np.float32)
+    cfg = {'sliding_window_enable': sw, 'sliding_window_size': [8, 16, 16],
+           'sliding_window_stride': [8, 16, 16], 'tta_mode': 1,
+           'infer_autopad_multiple': 16, 'class_num': k}
+    inferer = Inferer(cfg, patch_chunk=2)
+    keys = jnp.stack(jax.random.split(jax.random.PRNGKey(11), 4))
+    ctx = (variables, jnp.int32(1), keys)
+    margins = ([2, 0, 3], [1, 4, 0])
+
+    maps = np.asarray(inferer.run_passes_async(netw.mc, ctx, img, 4)())
+    maps = scipy.special.softmax(maps, axis=1)
+    vars_h, boundary_h = _host_uncertainty(maps, margins)
+
+    vars_d, boundary_d = inferer.run_fpl_uncertainty(
+        netw.mc, ctx, img, 4, margins)()
+    assert boundary_d == boundary_h
+    np.testing.assert_allclose(vars_d, vars_h, rtol=1e-4)
+
+
+def test_run_fpl_uncertainty_rejects_nonlogits(net):
+    netw, variables = net
+    cfg = {'sliding_window_enable': False, 'tta_mode': 0,
+           'output_mode': 'prob'}
+    inferer = Inferer(cfg)
+    img = np.zeros((1, 1, 8, 16, 16), np.float32)
+    with pytest.raises(ValueError, match='logits'):
+        inferer.run_fpl_uncertainty(
+            netw.mc, (variables, jnp.int32(0),
+                      jnp.stack([jax.random.PRNGKey(0)])), img, 1)
+
+
 def test_run_passes_rejects_mesh(net):
     netw, variables = net
     from fpl_plus_tpu.parallel.mesh import make_mesh

@@ -142,7 +142,11 @@ def _launch(stage, cfg, pid=None, n=2, devices=4, port=PORT):
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
 
 
-def _wait_all(procs, timeout=420):
+def _wait_all(procs, timeout=1800):
+    # generous cap: each subprocess pays full jax import + XLA compiles on
+    # a single shared host core (measured ~14 min for the 2-process train
+    # on this box when the persistent compile cache misses, e.g. after the
+    # VM migrates to a host with different CPU features)
     outs = []
     for p in procs:
         out, _ = p.communicate(timeout=timeout)
