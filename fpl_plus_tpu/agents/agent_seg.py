@@ -790,6 +790,24 @@ class SegmentationAgent(NetRunAgent):
 
             def _finish(entry):
                 fetch, p_data, p_t0, p_margins = entry
+                if isinstance(p_margins, tuple) and len(p_margins) == 2 \
+                        and p_margins[0] == 'batch':
+                    # batched device-label path: one [N, *img] uint8 fetch
+                    # for the whole loader batch; per-volume selection
+                    # crops then the normal save contract
+                    labels = fetch()
+                    if isinstance(labels, list):
+                        labels = labels[0]
+                    labels = np.asarray(labels)
+                    for i, (d, m) in enumerate(zip(p_data, p_margins[1])):
+                        lo, up = m
+                        slicer = (slice(i, i + 1),) + tuple(
+                            slice(l, s - u) for l, u, s in
+                            zip(lo, up, labels.shape[1:]))
+                        d['predict_label'] = labels[slicer]
+                        self.save_outputs(d)
+                    infer_times.append(time.time() - p_t0)
+                    return
                 if p_margins is not None:
                     # device-label fast path: the fetch is the argmaxed
                     # uint8 map; the inverse-transform chain reduces to
@@ -817,9 +835,34 @@ class SegmentationAgent(NetRunAgent):
             # decode-ahead: the loader's NIfTI decode + transform chain for
             # volume i+1 runs in a thread while volume i occupies the device
             for batch_data in prefetch_iter(self.test_loader):
-                # the Inferer processes one volume at a time; split batched
-                # test loaders (test_batch_size > 1) into per-volume samples
-                for data in _split_batch(batch_data):
+                # batched serving (test_batch_size > 1): a collated batch
+                # is same-shape by construction, so the whole batch runs
+                # as ONE sliding-window program (run_batch_async — up to
+                # 1.5x per-volume pipelining on the measured link,
+                # BASELINE.md round 3) when the device-label save path
+                # applies to every sample
+                samples = list(_split_batch(batch_data))
+                if (len(samples) > 1 and not fpl and not tt_dropout
+                        and self.inferer.mesh is None
+                        and cfg_test.get('infer_device_label', True)):
+                    dim = np.asarray(batch_data['image']).ndim - 2
+                    margins_list = [self._selection_margins(d, dim)
+                                    for d in samples]
+                    if all(m is not None for m in margins_list):
+                        imgs = np.asarray(batch_data['image'], np.float32)
+                        t0 = time.time()
+                        fetch = self._label_inferer().run_batch_async(
+                            self._patch_forward,
+                            (variables, jnp.int32(domain_label), None),
+                            imgs)
+                        if pending is not None:
+                            _finish(pending)
+                        pending = (fetch, samples, t0,
+                                   ('batch', margins_list))
+                        continue
+                # per-volume path: the Inferer and the inverse-transform
+                # bookkeeping run one volume at a time
+                for data in samples:
                     images = np.asarray(data['image'], np.float32)
                     t0 = time.time()
                     if fpl:

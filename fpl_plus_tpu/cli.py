@@ -23,6 +23,20 @@ from fpl_plus_tpu.config.parser import (logging_config, parse_config,
                                         synchronize_config)
 
 
+def _respect_platform_env() -> None:
+    """Re-assert an explicit ``JAX_PLATFORMS`` env request at the config
+    level. Ambient tooling (e.g. a device-tunnel sitecustomize on
+    PYTHONPATH) can set ``jax.config jax_platforms`` at interpreter
+    start, and the config value BEATS the env var — which silently moves
+    a 'cpu'-pinned run (multihost tests, virtual-mesh dryruns) onto the
+    ambient device backend."""
+    plat = os.environ.get('JAX_PLATFORMS')
+    if plat:
+        import jax
+        if str(jax.config.jax_platforms or '') != plat:
+            jax.config.update('jax_platforms', plat)
+
+
 def _enable_compilation_cache() -> None:
     """Persist XLA executables across processes (the remote TPU compile of
     the sliding-window program is minutes-long; with the cache a fresh
@@ -73,6 +87,7 @@ def main(argv=None):
     # multi-host first: jax.distributed must initialize before any
     # backend use ([training] multihost / FPLX_COORDINATOR env)
     from fpl_plus_tpu.parallel.multihost import maybe_initialize_distributed
+    _respect_platform_env()
     maybe_initialize_distributed(config)
     _enable_compilation_cache()
     from fpl_plus_tpu.utils.precision import apply_matmul_precision
@@ -103,6 +118,13 @@ def main(argv=None):
             if is_primary_host():   # shared-storage CSVs: one writer
                 from fpl_plus_tpu.metrics.evaluate import eva_main
                 eva_main(config)
+    # absorb cross-process wall-clock skew (host-side eval/IO phases run
+    # unsynchronized) BEFORE interpreter exit: jax.distributed's own
+    # shutdown barrier has a short deadline, and a process arriving
+    # minutes late gets the whole job killed with DEADLINE_EXCEEDED
+    # (observed on a single-core host under the 2-process test)
+    from fpl_plus_tpu.parallel.multihost import barrier
+    barrier('pre-exit')
     return 0
 
 
@@ -115,6 +137,7 @@ def _paradigm_main(argv, section, method_key, registry_getter, usage):
     config = parse_config(cfg_file)
     config = synchronize_config(config)
     from fpl_plus_tpu.parallel.multihost import maybe_initialize_distributed
+    _respect_platform_env()
     maybe_initialize_distributed(config)
     _enable_compilation_cache()
     from fpl_plus_tpu.utils.precision import apply_matmul_precision

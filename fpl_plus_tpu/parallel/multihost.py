@@ -49,9 +49,26 @@ def maybe_initialize_distributed(config: dict) -> bool:
     except RuntimeError as exc:   # already initialized
         logging.warning('jax.distributed.initialize skipped: %s', exc)
         return False
-    logging.info('multihost: process %d/%d, %d local / %d global devices',
-                 jax.process_index(), jax.process_count(),
-                 jax.local_device_count(), jax.device_count())
+    expected = int(kwargs.get('num_processes', 0) or 0)
+    if expected > 1 and jax.process_count() != expected:
+        # a silently-degraded job is worse than a dead one: every process
+        # would believe it is primary (write races on shared storage) and
+        # no collective would actually span the job. Seen when ambient
+        # tooling (device-tunnel sitecustomize) pre-selects a platform at
+        # the config level before the CLI runs — cli._respect_platform_env
+        # counters that; anything else must fail here.
+        raise RuntimeError(
+            'multihost init degraded: jax.process_count()={0} but {1} '
+            'processes were requested — a backend was configured or '
+            'initialized before distributed init'.format(
+                jax.process_count(), expected))
+    # print(): this runs BEFORE the CLI configures logging handlers (it
+    # must — distributed init precedes any backend use), and an INFO
+    # record with no handlers is dropped by logging's lastResort
+    print('multihost: process {0}/{1}, {2} local / {3} global devices'
+          .format(jax.process_index(), jax.process_count(),
+                  jax.local_device_count(), jax.device_count()),
+          flush=True)
     return True
 
 
@@ -71,15 +88,38 @@ def is_primary_host() -> bool:
     return process_info()[0] == 0
 
 
-def barrier(tag: str = 'sync') -> None:
+_BARRIER_SEQ = {'n': 0}
+
+
+def barrier(tag: str = 'sync', timeout_ms: int = 1800_000) -> None:
     """Cross-process barrier (no-op single-process). Used at write->read
     handoffs on shared storage: process 0 finishes checkpoint/pointer
     writes before any process proceeds to read them (train -> auto-test,
-    test-stage checkpoint resolution)."""
+    test-stage checkpoint resolution), and at CLI exit to absorb stage
+    skew before jax.distributed's short shutdown deadline.
+
+    Prefers the coordination-service barrier (explicit LONG deadline —
+    host-side phases like eval/IO can skew processes by minutes on small
+    hosts; a device-collective barrier would trip the collective
+    timeout). Barrier ids are sequence-numbered: every process calls
+    barriers in the same program order, and the coordination service
+    requires a fresh id once a barrier has been released."""
     if process_info()[1] <= 1:
         return
-    from jax.experimental import multihost_utils
-    multihost_utils.sync_global_devices(tag)
+    name = '{0}_{1}'.format(tag, _BARRIER_SEQ['n'])
+    _BARRIER_SEQ['n'] += 1
+    logging.info('barrier %s: process %d waiting', name, process_info()[0])
+    try:
+        from jax._src import distributed
+        client = distributed.global_state.client
+    except Exception:
+        client = None
+    if client is not None:
+        client.wait_at_barrier(name, timeout_ms)
+    else:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)
+    logging.info('barrier %s: process %d released', name, process_info()[0])
 
 
 def shard_manifest_rows(n_rows: int, process_index: int,

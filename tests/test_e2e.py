@@ -191,6 +191,48 @@ def test_device_label_save_parity(e2e_workspace):
     np.testing.assert_array_equal(outs[True], outs[False])
 
 
+def test_batched_test_stage_parity(e2e_workspace):
+    """test_batch_size=2 over 3 same-shape volumes: batches of 2 and 1 run
+    through the batched device-label path (ONE run_batch program per
+    collated batch) and must write voxel-identical outputs to the host
+    per-volume logits path."""
+    from fpl_plus_tpu.agents.agent_seg import SegmentationAgent
+    from fpl_plus_tpu.config.parser import parse_config, synchronize_config
+    from fpl_plus_tpu.io.image_io import load_image_as_nd_array
+    cfg_file = _write_cfg(e2e_workspace)
+    if not (e2e_workspace / 'model' / 'run1' / 'run1_best.txt').exists():
+        from fpl_plus_tpu.cli import main
+        assert main(['train', cfg_file]) == 0
+    # third same-shape volume so the loader yields batches of 2 and 1
+    rs = np.random.RandomState(23)
+    geom = ImageGeometry(origin=(0., 0., 0.), spacing=(1.0, 1.0, 1.5),
+                         direction=(1, 0, 0, 0, 1, 0, 0, 0, 1))
+    vol = rs.normal(0, 1, size=(12, 24, 24)).astype(np.float32)
+    vol[5:9, 6:14, 10:18] += 3.0
+    write_nifti(NiftiImage(vol, geom),
+                str(e2e_workspace / 'd1' / 'img' / 'case2.nii.gz'))
+    with open(e2e_workspace / 'test_b.csv', 'w') as f:
+        f.write('image\nd1/img/case0.nii.gz\nd1/img/case1.nii.gz\n'
+                'd1/img/case2.nii.gz\n')
+    config = synchronize_config(parse_config(cfg_file))
+    config['dataset']['test_csv'] = str(e2e_workspace / 'test_b.csv')
+    config['dataset']['test_batch_size'] = 2
+    config['dataset']['pad_output_size'] = [16, 32, 32]  # nonzero margins
+    outs = {}
+    for mode in (True, False):
+        config['testing']['infer_device_label'] = mode
+        config['testing']['output_dir'] = str(
+            e2e_workspace / 'result_b_{0}'.format(mode))
+        SegmentationAgent(config, 'test').run()
+        outs[mode] = [load_image_as_nd_array(
+            str(e2e_workspace / 'result_b_{0}'.format(mode) / 'run1_test_b'
+                / 'case{0}.nii.gz'.format(i)))['data_array']
+            for i in range(3)]
+    for i in range(3):
+        np.testing.assert_array_equal(outs[True][i], outs[False][i],
+                                      err_msg='volume {0}'.format(i))
+
+
 def test_fpl_uncertainty_pass(e2e_workspace):
     """FPL filtering inference (fpl=True): 6 MC-dropout passes per volume,
     sorted uncertainty .npy (reference agent_seg.py:897-931,954-960)."""

@@ -161,17 +161,20 @@ def test_cli_mesh_train_test_eval_matches_single_device(mesh_workspace):
     assert (ckpt_dir / 'mesh8_best.txt').exists()
 
 
-def test_mesh_inference_voxel_identical(mesh_workspace):
+@pytest.mark.parametrize('class_num', [2, 5])
+def test_mesh_inference_voxel_identical(mesh_workspace, class_num):
     """Patch-sharded sliding-window inference (Inferer(mesh=...)) is
     voxel-identical (argmax) and allclose (logits) to single-device on the
-    real flagship net with overlapping windows + TTA."""
+    real flagship net with overlapping windows + TTA — binary and
+    multi-class (MMWHS-style, BASELINE.json workload 5) heads."""
     import jax
     import jax.numpy as jnp
     from fpl_plus_tpu.engine.infer import Inferer
     from fpl_plus_tpu.models.registry import create_network, init_network
     from fpl_plus_tpu.parallel import make_mesh
 
-    net_cfg = {'net_type': 'UNet2D5_dsbn', 'num_domains': 2, 'class_num': 2,
+    net_cfg = {'net_type': 'UNet2D5_dsbn', 'num_domains': 2,
+               'class_num': class_num,
                'in_chns': 1, 'feature_chns': [4, 8, 8, 8, 8],
                'conv_dims': [2, 2, 3, 3, 3],
                'dropout': [0.0, 0.0, 0.0, 0.0, 0.0], 'bilinear': False}
@@ -185,12 +188,13 @@ def test_mesh_inference_voxel_identical(mesh_workspace):
 
     cfg = {'sliding_window_enable': True, 'sliding_window_size': [8, 16, 16],
            'sliding_window_stride': [6, 12, 12], 'tta_mode': 1,
-           'class_num': 2, 'output_mode': 'logits'}
+           'class_num': class_num, 'output_mode': 'logits'}
     img = np.random.RandomState(3).normal(
         size=(1, 1, 12, 24, 28)).astype(np.float32)
     single = np.asarray(Inferer(dict(cfg)).run(predictor, variables, img))
     multi = np.asarray(Inferer(dict(cfg), mesh=make_mesh(8)).run(
         predictor, variables, img))
+    assert single.shape[1] == class_num
     np.testing.assert_allclose(single, multi, atol=1e-4)
     np.testing.assert_array_equal(np.argmax(single, 1), np.argmax(multi, 1))
 

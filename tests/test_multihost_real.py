@@ -123,8 +123,13 @@ def _env(pid=None, n=2, devices=4, port=PORT):
     env['JAX_PLATFORMS'] = 'cpu'
     env['XLA_FLAGS'] = ('--xla_force_host_platform_device_count={0}'
                         .format(devices))
-    env['PYTHONPATH'] = '/root/repo' + (
-        ':' + env['PYTHONPATH'] if env.get('PYTHONPATH') else '')
+    # do NOT inherit ambient PYTHONPATH: the TPU-tunnel sitecustomize on
+    # it pre-selects its platform at the jax-config level, which BEATS
+    # JAX_PLATFORMS=cpu and silently moved these "CPU mesh" subprocesses
+    # onto the single remote TPU chip (process_count degraded to 1, every
+    # compile went over the tunnel). cli._respect_platform_env guards the
+    # product; keeping the plugin off the path makes the test hermetic.
+    env['PYTHONPATH'] = '/root/repo'
     env.pop('FPLX_COORDINATOR', None)
     env.pop('FPLX_NUM_PROCESSES', None)
     env.pop('FPLX_PROCESS_ID', None)
