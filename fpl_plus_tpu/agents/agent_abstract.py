@@ -75,6 +75,9 @@ class NetRunAgent(ABC):
                                                mesh_size_from_config)
             n = mesh_size_from_config(self.config, self.stage)
             self.mesh = make_mesh(n) if n > 1 else False
+            if self.mesh:
+                from fpl_plus_tpu.parallel.multihost import warm_collectives
+                warm_collectives(self.mesh)
         return self.mesh or None
 
     # -- injection points (reference agent_abstract.py:67-134) -------------

@@ -118,13 +118,10 @@ def main(argv=None):
             if is_primary_host():   # shared-storage CSVs: one writer
                 from fpl_plus_tpu.metrics.evaluate import eva_main
                 eva_main(config)
-    # absorb cross-process wall-clock skew (host-side eval/IO phases run
-    # unsynchronized) BEFORE interpreter exit: jax.distributed's own
-    # shutdown barrier has a short deadline, and a process arriving
-    # minutes late gets the whole job killed with DEADLINE_EXCEEDED
-    # (observed on a single-core host under the 2-process test)
-    from fpl_plus_tpu.parallel.multihost import barrier
-    barrier('pre-exit')
+    # absorb cross-process wall-clock skew and close the coordination
+    # service while still aligned (see multihost.finalize_distributed)
+    from fpl_plus_tpu.parallel.multihost import finalize_distributed
+    finalize_distributed()
     return 0
 
 
@@ -152,6 +149,9 @@ def _paradigm_main(argv, section, method_key, registry_getter, usage):
         raise ValueError('Undefined {0} method {1}'.format(section, method))
     agent = registry[method](config, stage)
     agent.run()
+    # same skew absorption as main()
+    from fpl_plus_tpu.parallel.multihost import finalize_distributed
+    finalize_distributed()
     return 0
 
 

@@ -122,6 +122,66 @@ def barrier(tag: str = 'sync', timeout_ms: int = 1800_000) -> None:
     logging.info('barrier %s: process %d released', name, process_info()[0])
 
 
+def warm_collectives(mesh) -> None:
+    """Establish the cross-process collective context RIGHT AFTER mesh
+    creation (multi-process only; no-op otherwise).
+
+    The backend's collective-context handshake (gloo on CPU) exchanges
+    addresses through the coordination KV store with a hard ~30 s
+    GetKeyValue deadline, and the context is created lazily at the FIRST
+    collective execution — which normally sits just after each process's
+    multi-minute train-step compile. On a contended host the compiles
+    skew processes by more than the deadline and the job dies with
+    'Gloo context initialization failed: GetKeyValue() timed out'
+    (observed repeatedly in the 2-process suite). A barrier-aligned
+    1-element psum here pays the handshake while processes are tightly
+    synchronized; every later collective reuses the context."""
+    if process_info()[1] <= 1:
+        return
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
+    barrier('pre-collective-warmup')
+    axis = mesh.axis_names[0]
+
+    def tiny_psum(x):
+        return jax.lax.psum(x, axis)
+
+    warm = jax.jit(
+        jax.shard_map(tiny_psum, mesh=mesh,
+                      in_specs=PartitionSpec(axis),
+                      out_specs=PartitionSpec()),
+    )
+    x = jax.device_put(
+        jnp.ones((len(mesh.devices.flat),), jnp.float32),
+        NamedSharding(mesh, PartitionSpec(axis)))
+    jax.block_until_ready(warm(x))
+    logging.info('collective context warmed over %d devices',
+                 len(mesh.devices.flat))
+
+
+def finalize_distributed() -> None:
+    """End-of-CLI rendezvous + immediate ``jax.distributed.shutdown``.
+
+    The coordination service's own shutdown barrier has a short deadline
+    that starts when the FIRST process exits; anything sitting between
+    our rendezvous and that barrier — loader-pool joins, TB writer
+    flushes, GC of device arrays during interpreter finalization — can
+    push a process past it on a loaded host and get the whole job killed
+    with DEADLINE_EXCEEDED (observed repeatedly under the 2-process
+    suite). Shutting the service down HERE, right after the barrier
+    releases, leaves nothing skewable in the window; the atexit hook
+    then finds the service already closed."""
+    if process_info()[1] <= 1:
+        return
+    barrier('pre-exit')
+    import jax
+    try:
+        jax.distributed.shutdown()
+    except Exception as exc:   # pragma: no cover - double shutdown etc.
+        logging.warning('jax.distributed.shutdown failed: %s', exc)
+
+
 def shard_manifest_rows(n_rows: int, process_index: int,
                         process_count: int):
     """Row-strided per-host shard of a manifest: host i reads rows
