@@ -212,33 +212,6 @@ def bench_e2e_test_stage(module, variables) -> float:
     return median_of(measure)
 
 
-class _MCPredictor:
-    """Hashable group-folded MC predictor (6 dropout passes per volume)."""
-
-    def __init__(self, module):
-        self.module = module
-
-    def __hash__(self):
-        return id(self.module)
-
-    def __eq__(self, other):
-        return isinstance(other, _MCPredictor) and other.module is self.module
-
-    def __call__(self, ctx, x):
-        import jax
-        variables, domain, rngs = ctx
-        m = rngs.shape[0]
-        xg = x.reshape((m, x.shape[0] // m) + x.shape[1:])
-
-        def one(r, xb):
-            out = self.module.apply(variables, xb, domain, False,
-                                    use_dropout=True, rngs={'dropout': r})
-            return out[0] if isinstance(out, (tuple, list)) else out
-
-        out = jax.vmap(one)(rngs, xg)
-        return out.reshape((-1,) + out.shape[2:])
-
-
 def bench_fpl_pass(module, variables, img) -> float:
     """The FPL uncertainty hot loop (reference agent_seg.py:897-931): 6
     MC-dropout passes x (sliding window + 4-flip TTA) per volume, folded
@@ -248,14 +221,15 @@ def bench_fpl_pass(module, variables, img) -> float:
     Reported as volumes/sec where one volume = all 6 stochastic passes."""
     import jax
     import jax.numpy as jnp
-    from fpl_plus_tpu.engine.infer import Inferer
+    from fpl_plus_tpu.engine.infer import GroupedMCPredictor, Inferer
 
     test_cfg = {'sliding_window_enable': True,
                 'sliding_window_size': [28, 128, 128],
                 'sliding_window_stride': [28, 128, 128],
                 'tta_mode': 1, 'class_num': 2, 'output_mode': 'logits'}
     inferer = Inferer(test_cfg, patch_chunk=2)
-    pred = _MCPredictor(module)
+    # the production predictor (shared with SegmentationAgent's FPL stage)
+    pred = GroupedMCPredictor(module)
     keys = jnp.stack(jax.random.split(jax.random.PRNGKey(7), 6))
     ctx = (variables, jnp.int32(1), keys)
     margins = ([0, 0, 0], [0, 0, 0])

@@ -166,9 +166,26 @@ class ClassificationAgent(NetRunAgent):
         ckpt_writer = ckpt_lib.CheckpointWriter()   # async atomic saves
         train_iter = repeat_loader(self.train_loaders[0])
         rng = jax.random.PRNGKey(self.random_seed)
+        metrics_name = cfg_t.get('evaluation_metric', 'accuracy')
+        try:
+            self._cls_train_loop(
+                state, train_iter, rng, iter_start, iter_max, iter_valid,
+                train_step, eval_fwd, loss_calc, plateau, cfg_t, writer,
+                ckpt_writer, ckpt_dir, ckpt_prefix, metrics_name)
+        finally:
+            try:
+                # aborted runs keep every SUBMITTED checkpoint durable
+                ckpt_writer.close()   # no-op on the success path
+            except BaseException:
+                logging.exception(
+                    'checkpoint writer close failed during unwind')
+
+    def _cls_train_loop(self, state, train_iter, rng, iter_start, iter_max,
+                        iter_valid, train_step, eval_fwd, loss_calc,
+                        plateau, cfg_t, writer, ckpt_writer, ckpt_dir,
+                        ckpt_prefix, metrics_name):
         max_score, max_it = -1.0, iter_start
         best_host = None
-        metrics_name = cfg_t.get('evaluation_metric', 'accuracy')
         for block in range(iter_start, iter_max, iter_valid):
             run_loss, run_score, n = 0.0, 0.0, 0
             for _ in range(iter_valid):

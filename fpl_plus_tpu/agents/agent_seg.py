@@ -134,24 +134,15 @@ class SegmentationAgent(NetRunAgent):
             out = self.module.apply(variables, x, domain, False)
         return out[0] if isinstance(out, (tuple, list)) else out
 
-    def _patch_forward_mc(self, ctx, x):
-        """MC-folded predictor for ``Inferer.run_passes_async``: ctx =
-        (variables, domain, rngs[M]); the patch batch is M row-major
-        groups, group m forwarded with dropout active under rng m
-        (``jax.vmap`` over the key axis — identical masks to M separate
-        applies because each lane draws with its own key at unchanged
-        activation shapes)."""
-        variables, domain, rngs = ctx
-        m = rngs.shape[0]
-        xg = x.reshape((m, x.shape[0] // m) + x.shape[1:])
-
-        def one(r, xb):
-            out = self.module.apply(variables, xb, domain, False,
-                                    use_dropout=True, rngs={'dropout': r})
-            return out[0] if isinstance(out, (tuple, list)) else out
-
-        out = jax.vmap(one)(rngs, xg)
-        return out.reshape((-1,) + out.shape[2:])
+    def _mc_predictor(self):
+        """The group-folded MC-dropout predictor for
+        ``Inferer.run_passes_async`` / ``run_fpl_uncertainty`` — the ONE
+        shared definition (``engine.infer.GroupedMCPredictor``, also used
+        by bench.py so the benchmark measures the production path)."""
+        if getattr(self, '_mc_pred', None) is None:
+            from fpl_plus_tpu.engine.infer import GroupedMCPredictor
+            self._mc_pred = GroupedMCPredictor(self.module)
+        return self._mc_pred
 
     def _patch_forward_ens(self, ctx, x):
         """Ensemble-folded predictor: ctx = (stacked_variables, domain)
@@ -520,104 +511,115 @@ class SegmentationAgent(NetRunAgent):
                 raise item
             return item
 
-        for block_start in range(iter_start, iter_max, iter_valid):
-            lr_value = self._current_lr(state)
-            t0 = time.time()
-            scalar_acc = {}
-            dice_acc = {}
-            for sub_it in range(iter_valid):
-                self.glob_it = block_start + sub_it
-                batches = next_batches()
-                rng, sub = jax.random.split(rng)
-                hyper = self.training_hyper(self.glob_it)
-                if hyper is None:
-                    state, metrics = train_step(state, batches, sub)
-                else:
-                    state, metrics = train_step(
-                        state, batches, sub,
-                        {k: jnp.float32(v) for k, v in hyper.items()})
-                    for k, v in hyper.items():
-                        scalar_acc.setdefault(k, []).append(v)
-                for k, v in metrics.items():
-                    if k.startswith('class_dice'):
-                        dice_acc.setdefault(k, []).append(v)
+        try:
+            for block_start in range(iter_start, iter_max, iter_valid):
+                lr_value = self._current_lr(state)
+                t0 = time.time()
+                scalar_acc = {}
+                dice_acc = {}
+                for sub_it in range(iter_valid):
+                    self.glob_it = block_start + sub_it
+                    batches = next_batches()
+                    rng, sub = jax.random.split(rng)
+                    hyper = self.training_hyper(self.glob_it)
+                    if hyper is None:
+                        state, metrics = train_step(state, batches, sub)
                     else:
-                        scalar_acc.setdefault(k, []).append(v)
-            train_scalars = {k: float(np.mean([float(x) for x in v]))
-                             for k, v in scalar_acc.items()}
-            cls_dice = [np.mean(np.asarray(acc), axis=0)
-                        for acc in dice_acc.values()]
-            train_cls_dice = np.mean(cls_dice, axis=0)
-            train_scalars['avg_dice'] = float(train_cls_dice.mean())
-            train_scalars['class_dice'] = train_cls_dice
-            train_loss = train_scalars['loss']
-            t1 = time.time()
-            if profile_dir and block_start == iter_start:
-                jax.block_until_ready(state.params)
-                jax.profiler.stop_trace()
-                profile_dir = None
-            valid_scalars = self.validation(state)
-            t2 = time.time()
-            glob_it = block_start + iter_valid
+                        state, metrics = train_step(
+                            state, batches, sub,
+                            {k: jnp.float32(v) for k, v in hyper.items()})
+                        for k, v in hyper.items():
+                            scalar_acc.setdefault(k, []).append(v)
+                    for k, v in metrics.items():
+                        if k.startswith('class_dice'):
+                            dice_acc.setdefault(k, []).append(v)
+                        else:
+                            scalar_acc.setdefault(k, []).append(v)
+                train_scalars = {k: float(np.mean([float(x) for x in v]))
+                                 for k, v in scalar_acc.items()}
+                cls_dice = [np.mean(np.asarray(acc), axis=0)
+                            for acc in dice_acc.values()]
+                train_cls_dice = np.mean(cls_dice, axis=0)
+                train_scalars['avg_dice'] = float(train_cls_dice.mean())
+                train_scalars['class_dice'] = train_cls_dice
+                train_loss = train_scalars['loss']
+                t1 = time.time()
+                if profile_dir and block_start == iter_start:
+                    jax.block_until_ready(state.params)
+                    jax.profiler.stop_trace()
+                    profile_dir = None
+                valid_scalars = self.validation(state)
+                t2 = time.time()
+                glob_it = block_start + iter_valid
 
-            scale = plateau.step(valid_scalars['plateau_metric'])
-            if plateau.enabled:
-                state = self._scale_lr(state, scale)
+                scale = plateau.step(valid_scalars['plateau_metric'])
+                if plateau.enabled:
+                    state = self._scale_lr(state, scale)
 
-            logging.info('it %d', glob_it)
-            logging.info('learning rate %s', lr_value)
-            logging.info('training/validation time: %.2fs/%.2fs',
-                         t1 - t0, t2 - t1)
-            self._write_scalars(writer, train_scalars, valid_scalars,
-                                lr_value, glob_it, class_num)
+                logging.info('it %d', glob_it)
+                logging.info('learning rate %s', lr_value)
+                logging.info('training/validation time: %.2fs/%.2fs',
+                             t1 - t0, t2 - t1)
+                self._write_scalars(writer, train_scalars, valid_scalars,
+                                    lr_value, glob_it, class_num)
 
-            if valid_scalars['avg_dice'] > max_val_dice:
-                max_val_dice = valid_scalars['avg_dice']
-                max_val_it = glob_it
-                best_state_host = jax.tree_util.tree_map(
-                    np.asarray, {'params': state.params,
-                                 'batch_stats': state.batch_stats})
+                if valid_scalars['avg_dice'] > max_val_dice:
+                    max_val_dice = valid_scalars['avg_dice']
+                    max_val_it = glob_it
+                    best_state_host = jax.tree_util.tree_map(
+                        np.asarray, {'params': state.params,
+                                     'batch_stats': state.batch_stats})
 
-            stop_now = (early_stop_it is not None
-                        and glob_it - max_val_it > early_stop_it)
-            if glob_it in iter_save_list or stop_now:
+                stop_now = (early_stop_it is not None
+                            and glob_it - max_val_it > early_stop_it)
+                if glob_it in iter_save_list or stop_now:
+                    payload = {'params': state.params,
+                               'batch_stats': state.batch_stats,
+                               'opt_state': state.opt_state}
+                    if state.extra is not None:
+                        payload['extra'] = state.extra
+                    ckpt_writer.submit(ckpt_dir, ckpt_prefix, glob_it,
+                                       payload, valid_scalars['avg_dice'])
+                if stop_now:
+                    logging.info('The training is early stopped')
+                    break
+
+            # guarantee a final checkpoint + _latest.txt even when
+            # iter_valid does not divide (iter_max - iter_start) (the
+            # reference never saves in that case and its auto-test crashes
+            # on the missing pointer)
+            if glob_it > iter_start and glob_it not in iter_save_list:
                 payload = {'params': state.params,
                            'batch_stats': state.batch_stats,
                            'opt_state': state.opt_state}
                 if state.extra is not None:
                     payload['extra'] = state.extra
-                ckpt_writer.submit(ckpt_dir, ckpt_prefix, glob_it,
-                                   payload, valid_scalars['avg_dice'])
-            if stop_now:
-                logging.info('The training is early stopped')
-                break
+                ckpt_writer.submit(ckpt_dir, ckpt_prefix, glob_it, payload,
+                                   max_val_dice)
 
-        stop_flag.append(True)
-        while not prefetch_q.empty():   # unblock the producer
-            prefetch_q.get_nowait()
-        prefetch_thread.join(timeout=5)
-
-        # guarantee a final checkpoint + _latest.txt even when iter_valid
-        # does not divide (iter_max - iter_start) (the reference never saves
-        # in that case and its auto-test crashes on the missing pointer)
-        if glob_it > iter_start and glob_it not in iter_save_list:
-            payload = {'params': state.params,
-                       'batch_stats': state.batch_stats,
-                       'opt_state': state.opt_state}
-            if state.extra is not None:
-                payload['extra'] = state.extra
-            ckpt_writer.submit(ckpt_dir, ckpt_prefix, glob_it, payload,
-                               max_val_dice)
-
-        # save the best-performing checkpoint (reference :809-828)
-        if best_state_host is not None:
-            ckpt_writer.submit(
-                ckpt_dir, ckpt_prefix, max_val_it,
-                {'params': best_state_host['params'],
-                 'batch_stats': best_state_host['batch_stats'],
-                 'opt_state': state.opt_state},
-                max_val_dice, update_latest=False)
-        ckpt_writer.close()   # artifacts durable before the pointer write
+            # save the best-performing checkpoint (reference :809-828)
+            if best_state_host is not None:
+                ckpt_writer.submit(
+                    ckpt_dir, ckpt_prefix, max_val_it,
+                    {'params': best_state_host['params'],
+                     'batch_stats': best_state_host['batch_stats'],
+                     'opt_state': state.opt_state},
+                    max_val_dice, update_latest=False)
+            ckpt_writer.close()   # artifacts durable before pointer write
+        finally:
+            # exception-safe teardown: stop the prefetch producer and drain
+            # the async checkpoint queue so an aborted run (loader error,
+            # OOM, Ctrl-C) still leaves every SUBMITTED checkpoint durable
+            # on disk — the synchronous-save guarantee
+            stop_flag.append(True)
+            while not prefetch_q.empty():   # unblock the producer
+                prefetch_q.get_nowait()
+            prefetch_thread.join(timeout=5)
+            try:
+                ckpt_writer.close()   # no-op on the success path
+            except BaseException:
+                logging.exception(
+                    'checkpoint writer close failed during unwind')
         ckpt_lib.write_best_pointer(ckpt_dir, ckpt_prefix, max_val_it)
         # multihost: readers (auto-test stage on every process) must not
         # resolve pointers until process 0 finished writing them
@@ -778,7 +780,9 @@ class SegmentationAgent(NetRunAgent):
             # inverse transforms and NIfTI encode overlap volume i+1's device
             # compute (run_async). On a transfer-bound link this roughly
             # halves test-stage wall time with identical outputs.
-            pending = None    # (fetch, data, t0)
+            pending = None    # (kind, fetch, data, t0, margins); kind is
+            #                   'volume' or 'batch' — an explicit tag, so
+            #                   the two entry layouts can never be confused
             pending_fpl = None    # (fetch, name) — device-reduced FPL pass
 
             def _finish_fpl(entry):
@@ -789,9 +793,8 @@ class SegmentationAgent(NetRunAgent):
                 logging.info('%s %s', p_name, uncer_one)
 
             def _finish(entry):
-                fetch, p_data, p_t0, p_margins = entry
-                if isinstance(p_margins, tuple) and len(p_margins) == 2 \
-                        and p_margins[0] == 'batch':
+                kind, fetch, p_data, p_t0, p_margins = entry
+                if kind == 'batch':
                     # batched device-label path: one [N, *img] uint8 fetch
                     # for the whole loader batch; per-volume selection
                     # crops then the normal save contract
@@ -799,14 +802,18 @@ class SegmentationAgent(NetRunAgent):
                     if isinstance(labels, list):
                         labels = labels[0]
                     labels = np.asarray(labels)
-                    for i, (d, m) in enumerate(zip(p_data, p_margins[1])):
+                    for i, (d, m) in enumerate(zip(p_data, p_margins)):
                         lo, up = m
                         slicer = (slice(i, i + 1),) + tuple(
                             slice(l, s - u) for l, u, s in
                             zip(lo, up, labels.shape[1:]))
                         d['predict_label'] = labels[slicer]
                         self.save_outputs(d)
-                    infer_times.append(time.time() - p_t0)
+                    # logged 'testing time' stays PER-VOLUME: divide the
+                    # batch latency over its samples so the mean/std is
+                    # comparable across batched and per-volume entries
+                    dt = (time.time() - p_t0) / len(p_data)
+                    infer_times.extend([dt] * len(p_data))
                     return
                 if p_margins is not None:
                     # device-label fast path: the fetch is the argmaxed
@@ -857,8 +864,8 @@ class SegmentationAgent(NetRunAgent):
                             imgs)
                         if pending is not None:
                             _finish(pending)
-                        pending = (fetch, samples, t0,
-                                   ('batch', margins_list))
+                        pending = ('batch', fetch, samples, t0,
+                                   margins_list)
                         continue
                 # per-volume path: the Inferer and the inverse-transform
                 # bookkeeping run one volume at a time
@@ -868,7 +875,11 @@ class SegmentationAgent(NetRunAgent):
                     if fpl:
                         rng, *subs = jax.random.split(rng, 7)
                         margins = None
-                        if self.inferer.mesh is None:
+                        # the infer_device_label off-switch restores the
+                        # host-reduction path here too (docs/CONFIG.md)
+                        if (self.inferer.mesh is None
+                                and cfg_test.get('infer_device_label',
+                                                 True)):
                             margins = self._selection_margins(
                                 data, images.ndim - 2)
                         if margins is not None:
@@ -880,7 +891,7 @@ class SegmentationAgent(NetRunAgent):
                             if isinstance(name, (list, tuple)):
                                 name = name[0]
                             fetch = self.inferer.run_fpl_uncertainty(
-                                self._patch_forward_mc,
+                                self._mc_predictor(),
                                 (variables, jnp.int32(domain_label),
                                  jnp.stack(subs)), images, 6, margins)
                             if pending_fpl is not None:
@@ -892,7 +903,7 @@ class SegmentationAgent(NetRunAgent):
                             # transform in the chain): folded dispatch,
                             # map fetch, host inverse + reduction
                             fetch6 = self.inferer.run_passes_async(
-                                self._patch_forward_mc,
+                                self._mc_predictor(),
                                 (variables, jnp.int32(domain_label),
                                  jnp.stack(subs)), images, 6)
                             stacked6 = fetch6()   # [6, K, *img] per head
@@ -968,7 +979,7 @@ class SegmentationAgent(NetRunAgent):
                                  rng_td), images)
                         if pending is not None:
                             _finish(pending)
-                        pending = (fetch, data, t0, margins)
+                        pending = ('volume', fetch, data, t0, margins)
             if pending is not None:
                 _finish(pending)
             if pending_fpl is not None:

@@ -49,9 +49,28 @@ def _to_host(tree):
     return jax.tree_util.tree_map(np.asarray, tree)
 
 
+def _fsync_dir(path: str) -> None:
+    """fsync the directory entry so a completed ``os.replace`` survives
+    power loss — without this the artifact rename and the pointer rename
+    can become durable in either order on filesystems without ordered
+    metadata journaling (NFS shared storage included), leaving a pointer
+    naming a checkpoint that does not exist."""
+    try:
+        fd = os.open(os.path.dirname(path) or '.', os.O_RDONLY)
+    except OSError:   # pragma: no cover - platform without dir-open
+        return
+    try:
+        os.fsync(fd)
+    except OSError:   # pragma: no cover - fs without dir fsync
+        pass
+    finally:
+        os.close(fd)
+
+
 def _atomic_write(path: str, data: bytes, fsync: bool = True) -> None:
-    """tmp + fsync + os.replace: ``path`` either keeps its old content or
-    holds the complete new content — never a torn write."""
+    """tmp + fsync + os.replace (+ directory fsync): ``path`` either keeps
+    its old content or holds the complete new content — never a torn
+    write — and the rename itself is durable before the call returns."""
     tmp = path + '.tmp'
     with open(tmp, 'wb') as f:
         f.write(data)
@@ -59,12 +78,16 @@ def _atomic_write(path: str, data: bytes, fsync: bool = True) -> None:
             f.flush()
             os.fsync(f.fileno())
     os.replace(tmp, path)
+    if fsync:
+        _fsync_dir(path)
 
 
 def _write_pointer(ckpt_dir: str, prefix: str, kind: str,
                    iteration: int) -> None:
+    # pointers are fsync'd too: the pointer-after-artifact ordering only
+    # holds if BOTH renames are durable in submission order
     _atomic_write('{0}/{1}_{2}.txt'.format(ckpt_dir, prefix, kind),
-                  str(iteration).encode(), fsync=False)
+                  str(iteration).encode(), fsync=True)
 
 
 def save_checkpoint(ckpt_dir: str, prefix: str, iteration: int,
@@ -98,8 +121,12 @@ class CheckpointWriter:
     ``save_checkpoint``. Submission order = pointer-update order (one
     worker), so ``_latest.txt`` always names the newest durable artifact."""
 
-    def __init__(self):
-        self._q: 'queue.Queue' = queue.Queue()
+    def __init__(self, max_pending: int = 2):
+        # bounded queue: each pending item pins a full device-side copy of
+        # the training state, so an unbounded backlog (disk slower than the
+        # iter_save cadence) would grow until device OOM; at the bound
+        # ``submit`` blocks — graceful degradation to synchronous saving
+        self._q: 'queue.Queue' = queue.Queue(maxsize=max_pending)
         self._error: Optional[BaseException] = None
         self._thread: Optional[threading.Thread] = None
 
@@ -116,7 +143,8 @@ class CheckpointWriter:
                     return
                 save_checkpoint(*item)
             except BaseException as exc:   # surfaced by flush()
-                self._error = exc
+                if self._error is None:    # keep the ROOT-CAUSE error
+                    self._error = exc
             finally:
                 self._q.task_done()
 

@@ -992,3 +992,38 @@ class Inferer:
         fetches = [self.run_async(predictor, ctx_factory(rng), image,
                                   tta_override) for rng in rngs]
         return [fetch() for fetch in fetches]
+
+
+class GroupedMCPredictor:
+    """Group-folded MC-dropout predictor for ``Inferer.run_passes_async`` /
+    ``run_fpl_uncertainty``: ``ctx = (variables, domain, rngs[M])`` and the
+    patch batch is M row-major groups; group m is forwarded with dropout
+    active under rng m (``jax.vmap`` over the key axis — identical masks to
+    M separate applies, because each lane draws from its own key at
+    unchanged activation shapes). The ONE definition is shared by the
+    agent's FPL test stage and by ``bench.py``, so the benchmark measures
+    exactly the production computation. Hash/eq key on the wrapped module
+    identity so jit program caches reuse compilations across instances."""
+
+    def __init__(self, module):
+        self.module = module
+
+    def __hash__(self):
+        return id(self.module)
+
+    def __eq__(self, other):
+        return (isinstance(other, GroupedMCPredictor)
+                and other.module is self.module)
+
+    def __call__(self, ctx, x):
+        variables, domain, rngs = ctx
+        m = rngs.shape[0]
+        xg = x.reshape((m, x.shape[0] // m) + x.shape[1:])
+
+        def one(r, xb):
+            out = self.module.apply(variables, xb, domain, False,
+                                    use_dropout=True, rngs={'dropout': r})
+            return out[0] if isinstance(out, (tuple, list)) else out
+
+        out = jax.vmap(one)(rngs, xg)
+        return out.reshape((-1,) + out.shape[2:])

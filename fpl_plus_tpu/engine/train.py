@@ -23,6 +23,7 @@ forward sequentially, exactly like the reference's two ``net()`` calls.
 """
 from __future__ import annotations
 
+import logging
 from typing import Any, Callable
 
 import jax
@@ -153,7 +154,26 @@ def make_train_step(apply_fn: Callable, loss_calculator: Callable,
                                         updated['batch_stats'])
         return outs, new_bs
 
+    def _fused_merge_valid(batch_stats) -> bool:
+        """The diagonal merge ``l[diag, diag]`` is only exact for stat
+        leaves shaped ``[num_domains, C...]`` (DSBN banks, where lane d
+        rewrites only row d). A leaf with any other leading dim — e.g. a
+        plain BatchNorm's shared stats, which the SEQUENTIAL path updates
+        twice (d0 then d1) — cannot be merged this way, and jnp's clamped
+        out-of-bounds gather would corrupt it SILENTLY. Shapes are static
+        under trace, so this check runs at trace time."""
+        return all(
+            l.ndim >= 2 and l.shape[0] == num_domains
+            for l in jax.tree_util.tree_leaves(batch_stats))
+
     def step_joint_fused(state: TrainState, batches, rng):
+        if not _fused_merge_valid(state.batch_stats):
+            logging.warning(
+                'fused_domain_forward disabled: a batch_stats leaf is not '
+                'a per-domain [num_domains, C] bank (shared-stat layers '
+                'need the sequential per-domain update); using the '
+                'sequential joint step')
+            return step_joint(state, batches, rng)
         rngs = jax.random.split(rng, num_domains)
 
         def loss_fn(params):

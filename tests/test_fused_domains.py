@@ -79,6 +79,47 @@ def test_fused_matches_sequential_plain():
             np.asarray(m_seq['class_dice_{0}'.format(d)]), atol=1e-3)
 
 
+def test_fused_guard_on_shared_stat_leaves():
+    """A net whose batch_stats are NOT per-domain ``[num_domains, C]``
+    banks (UNet3D's plain BatchNorm: ``[1, C]``) must NOT take the fused
+    diagonal merge — jnp's clamped out-of-bounds gather would silently
+    reshape/corrupt the shared stats. The trace-time guard falls back to
+    the sequential joint step, so fused=True is bit-identical to
+    fused=False and every stat leaf keeps its shape."""
+    net_cfg = {'net_type': 'UNet3D', 'class_num': 2, 'in_chns': 1,
+               'feature_chns': [4, 8, 8, 8], 'dropout': [0.0, 0.0, 0.0, 0.0],
+               'bilinear': True}
+    module = create_network(net_cfg)
+    params, batch_stats = init_network(module, net_cfg, seed=3)
+    shapes_before = [l.shape for l in
+                     jax.tree_util.tree_leaves(batch_stats)]
+    assert any(s[0] != 2 for s in shapes_before)   # the hazard is present
+    results = []
+    for fused in (False, True):
+        optimizer = create_optimizer(
+            {'optimizer': 'Adam', 'learning_rate': 1e-3, 'momentum': 0.9,
+             'weight_decay': 0.0}, {'lr_scheduler': None})
+        state = create_train_state(
+            jax.tree_util.tree_map(jnp.copy, params),
+            jax.tree_util.tree_map(jnp.copy, batch_stats), optimizer)
+        step = make_train_step(module.apply, SegLossDict['DiceLoss']({}),
+                               optimizer, num_domains=2, joint=True,
+                               fused_domains=fused)
+        rs = np.random.RandomState(6)
+        state, metrics = step(state, _batches(rs), jax.random.PRNGKey(9))
+        results.append((float(metrics['loss']),
+                        jax.tree_util.tree_map(np.asarray,
+                                               state.batch_stats)))
+    (l_seq, bs_seq), (l_fus, bs_fus) = results
+    assert l_fus == l_seq   # same program -> bit-identical
+    for a, b in zip(jax.tree_util.tree_leaves(bs_seq),
+                    jax.tree_util.tree_leaves(bs_fus)):
+        assert a.shape == b.shape
+        np.testing.assert_array_equal(b, a)
+    shapes_after = [l.shape for l in jax.tree_util.tree_leaves(bs_fus)]
+    assert shapes_after == shapes_before
+
+
 def test_fused_matches_sequential_fpl_weights():
     """The FPL-weighted loss path (pixel_weight/image_weight on the target
     domain only) flows identically through the fused forward."""

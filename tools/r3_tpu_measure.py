@@ -124,7 +124,7 @@ def _plain_pred(module):
 def stage_b(module, variables, img):
     import jax
     import jax.numpy as jnp
-    from bench import _MCPredictor
+    from fpl_plus_tpu.engine.infer import GroupedMCPredictor
     from fpl_plus_tpu.engine.infer import Inferer
 
     cfg = {'sliding_window_enable': True,
@@ -148,7 +148,7 @@ def stage_b(module, variables, img):
          sec_per_volume=round(float(np.median(times)), 3),
          samples=[round(t, 3) for t in times])
 
-    mc = _MCPredictor(module)
+    mc = GroupedMCPredictor(module)
     ctx = (variables, dom, jnp.stack(keys))
     t0 = time.time()
     inferer.run_passes_async(mc, ctx, img, 6)()
@@ -168,7 +168,7 @@ def stage_b2(module, variables, img):
     reduction (8-byte fetch) — pipelined one-deep like the agent."""
     import jax
     import jax.numpy as jnp
-    from bench import _MCPredictor
+    from fpl_plus_tpu.engine.infer import GroupedMCPredictor
     from fpl_plus_tpu.engine.infer import Inferer
 
     cfg = {'sliding_window_enable': True,
@@ -178,7 +178,7 @@ def stage_b2(module, variables, img):
     inferer = Inferer(cfg, patch_chunk=2)
     dom = jnp.int32(1)
     keys = jnp.stack(jax.random.split(jax.random.PRNGKey(7), 6))
-    mc = _MCPredictor(module)
+    mc = GroupedMCPredictor(module)
     ctx = (variables, dom, keys)
     margins = ([0, 0, 0], [0, 0, 0])
     t0 = time.time()
