@@ -877,16 +877,16 @@ class SegmentationAgent(NetRunAgent):
                         margins = None
                         # the infer_device_label off-switch restores the
                         # host-reduction path here too (docs/CONFIG.md)
-                        if (self.inferer.mesh is None
-                                and cfg_test.get('infer_device_label',
-                                                 True)):
+                        if cfg_test.get('infer_device_label', True):
                             margins = self._selection_margins(
                                 data, images.ndim - 2)
                         if margins is not None:
                             # production path: all 6 passes in ONE dispatch
                             # AND the whole uncertainty reduction on device
                             # — the fetch is two scalars, not 6 prob
-                            # volumes (transfer-bound link, BASELINE.md)
+                            # volumes (transfer-bound link, BASELINE.md).
+                            # On a mesh the pass axis partitions across
+                            # the devices (engine/infer.py pass sharding).
                             name = data['names'][0]
                             if isinstance(name, (list, tuple)):
                                 name = name[0]
@@ -898,26 +898,17 @@ class SegmentationAgent(NetRunAgent):
                                 _finish_fpl(pending_fpl)
                             pending_fpl = (fetch, name)
                             continue
-                        if self.inferer.mesh is None:
-                            # host fallback (a non-selection inverse
-                            # transform in the chain): folded dispatch,
-                            # map fetch, host inverse + reduction
-                            fetch6 = self.inferer.run_passes_async(
-                                self._mc_predictor(),
-                                (variables, jnp.int32(domain_label),
-                                 jnp.stack(subs)), images, 6)
-                            stacked6 = fetch6()   # [6, K, *img] per head
-                            if isinstance(stacked6, list):
-                                stacked6 = stacked6[0]
-                            preds = [stacked6[i:i + 1] for i in range(6)]
-                        else:
-                            # mesh path: per-pass dispatch (grid sharding
-                            # has no fold axis)
-                            preds = self.inferer.run_mc(
-                                self._patch_forward,
-                                lambda r: (variables,
-                                           jnp.int32(domain_label), r),
-                                images, subs)
+                        # host fallback (a non-selection inverse transform
+                        # in the chain): folded dispatch (pass-sharded on
+                        # a mesh), map fetch, host inverse + reduction
+                        fetch6 = self.inferer.run_passes_async(
+                            self._mc_predictor(),
+                            (variables, jnp.int32(domain_label),
+                             jnp.stack(subs)), images, 6)
+                        stacked6 = fetch6()   # [6, K, *img] per head
+                        if isinstance(stacked6, list):
+                            stacked6 = stacked6[0]
+                        preds = [stacked6[i:i + 1] for i in range(6)]
                         maps = []
                         for pred in preds:
                             d2 = dict(data)
@@ -1018,9 +1009,11 @@ class SegmentationAgent(NetRunAgent):
                 self.infer_precision))
         n_ck = len(all_vars)
         stacked_vars = None
-        if self.inferer.mesh is None and n_ck > 1:
+        if n_ck > 1:
             # fold the N checkpoint passes into one dispatch: stack every
-            # variable leaf on a leading checkpoint axis
+            # variable leaf on a leading checkpoint axis (on a mesh the
+            # checkpoint axis partitions across the devices, so each
+            # device holds and runs only its share of the ensemble)
             stacked_vars = jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs), *all_vars)
         infer_times = []
@@ -1037,7 +1030,7 @@ class SegmentationAgent(NetRunAgent):
                     preds = preds[0]
                 data['predict'] = np.mean(preds, axis=0, keepdims=True)
             else:
-                # mesh (or single-ckpt) path: per-checkpoint dispatches,
+                # single-checkpoint path: per-checkpoint dispatches,
                 # all enqueued before any result is fetched
                 fetches = [self.inferer.run_async(
                     self._patch_forward, (v, jnp.int32(domain_label), None),

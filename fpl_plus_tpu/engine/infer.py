@@ -472,6 +472,45 @@ def _sliding_window_full_sharded(predictor, ctx, vol: jnp.ndarray,
         output_mode) for o, c in zip(outs, cnts)]
 
 
+def _pad_pass_axis(ctx, n_passes: int, pad: int):
+    """Pad every ctx leaf carrying the pass axis (leading dim ==
+    ``n_passes``) by repeating its last row ``pad`` times — mesh
+    divisibility padding; the padded passes' outputs are dropped by the
+    caller."""
+    def f(l):
+        if hasattr(l, 'ndim') and l.ndim >= 1 and l.shape[0] == n_passes:
+            arr = jnp.asarray(l)
+            return jnp.concatenate(
+                [arr, jnp.repeat(arr[-1:], pad, axis=0)], axis=0)
+        return l
+
+    return jax.tree_util.tree_map(f, ctx)
+
+
+def _shard_pass_inputs(mesh, vols, ctx, n_eff: int):
+    """Commit the pass-partitioned layout: the volume batch and every ctx
+    leaf whose leading dim is ``n_eff`` (the stacked rng keys / stacked
+    checkpoint variables) are sharded along the mesh axis; everything else
+    is replicated. The passes are independent, so the partitioned batched
+    program is collective-free by construction. A ctx leaf that only
+    COINCIDENTALLY has leading dim ``n_eff`` still computes correctly —
+    committed shardings change layout, never semantics — at a resharding
+    cost."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    axis = mesh.axis_names[0]
+    passed = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    def f(l):
+        arr = jnp.asarray(l)
+        if arr.ndim >= 1 and arr.shape[0] == n_eff:
+            return jax.device_put(arr, passed)
+        return jax.device_put(arr, repl)
+
+    return (jax.device_put(vols, passed),
+            jax.tree_util.tree_map(f, ctx))
+
+
 @partial(jax.jit, static_argnames=('predictor', 'tta'))
 def _whole_volume_jit(predictor, ctx, vol: jnp.ndarray, tta: bool):
     preds = _as_list(predictor(ctx, _make_variants(vol, tta)))
@@ -831,11 +870,13 @@ class Inferer:
         return self._finish_outputs(outs, batched=True)
 
     def _batch_core_dev(self, predictor: Callable, ctx, images, tta: bool,
-                        window, stride):
+                        window, stride, pass_sharded: bool = False):
         """Device half of ``_batch_core``: dispatch the batched program and
         return the margin-cropped per-head DEVICE arrays ``[N, *img, K]``
         (channels last; still on device so callers can fuse a reduction
-        before any transfer)."""
+        before any transfer). ``pass_sharded`` commits the leading (pass)
+        axis of the volume batch and of matching ctx leaves across
+        ``self.mesh`` so XLA partitions the program over the passes."""
         n = images.shape[0]
         img_shape = images.shape[2:]
         vols = jnp.asarray(np.moveaxis(images, 1, -1))   # [N, *img, C]
@@ -857,7 +898,11 @@ class Inferer:
         # (B=8: 1.68 unrolled / 33-833 s compiles vs 4.28 scan / 50 s),
         # so large batches take the compact scan-carried loop.
         v = 4 if tta else 1
-        unroll = n * target * v <= 2 * self.config.get(
+        n_sched = n   # per-device row count drives the unroll budget
+        if pass_sharded and self.mesh is not None:
+            n_sched = max(1, n // self.mesh.size)
+            vols, ctx = _shard_pass_inputs(self.mesh, vols, ctx, n)
+        unroll = n_sched * target * v <= 2 * self.config.get(
             'infer_unroll_max', 256)
         outs = _sliding_window_full_batch(
             predictor, ctx, vols, jnp.asarray(starts),
@@ -885,8 +930,15 @@ class Inferer:
         ``fetch()`` returns one ``[N, K, *img]`` array per head, pass i's
         full inference (TTA + sliding window + overlap averaging) at row i
         — voxel-identical to N sequential ``run_async`` calls with the
-        per-pass ctx. Not supported on a device mesh (the shard_map grid
-        path has no group axis) — callers fall back to ``run_mc``."""
+        per-pass ctx.
+
+        On a device mesh the PASS axis is partitioned across the devices
+        (passes are independent, so the SPMD program is collective-free by
+        construction): the fold is padded to a device-count multiple by
+        repeating the last pass's ctx row — padded outputs are dropped —
+        and the volume/ctx leaves are committed with pass-axis shardings,
+        letting XLA partition the one-dispatch batched program. A 6-pass
+        FPL fold on an 8-device mesh thus runs all passes concurrently."""
         outs = self._passes_dev(group_predictor, ctx, image, n_passes,
                                 tta_override)
         return self._finish_outputs(outs, batched=True)
@@ -895,12 +947,18 @@ class Inferer:
                     n_passes: int, tta_override: Optional[bool] = None):
         """Device half of ``run_passes_async``: the folded N-pass program's
         per-head DEVICE arrays ``[N, *img, K]`` before any transfer."""
-        if self.mesh is not None:
-            raise ValueError('run_passes_async does not support a mesh; '
-                             'use per-pass run_async instead')
         image = np.asarray(image)
         assert image.shape[0] == 1, 'run_passes folds passes over ONE volume'
-        images = np.repeat(image, n_passes, axis=0)   # [N, C, *img]
+        pad_n = 0
+        if self.mesh is not None:
+            # pass-axis mesh partitioning: pad the fold to a multiple of
+            # the device count (XLA partitions only divisible axes); the
+            # padded rows repeat the last pass's ctx and are dropped below
+            pad_n = (-n_passes) % self.mesh.size
+            if pad_n:
+                ctx = _pad_pass_axis(ctx, n_passes, pad_n)
+        n_eff = n_passes + pad_n
+        images = np.repeat(image, n_eff, axis=0)   # [N, C, *img]
         tta_mode = self.config.get('tta_mode', 0)
         tta = bool(tta_mode) if tta_override is None else tta_override
         img_shape = images.shape[2:]
@@ -908,8 +966,10 @@ class Inferer:
         use_sw, window, stride = self._resolve_sw(img_shape)
         whole = all(window[d] >= img_shape[d] for d in range(dim))
         if use_sw and not whole:
-            return self._batch_core_dev(group_predictor, ctx, images, tta,
-                                        window, stride)
+            outs = self._batch_core_dev(group_predictor, ctx, images, tta,
+                                        window, stride,
+                                        pass_sharded=self.mesh is not None)
+            return [o[:n_passes] for o in outs] if pad_n else outs
         # whole-volume fold: autopad like run_async, batched program
         device_mode = 'label' if self.packed else self.output_mode
         vols = jnp.asarray(np.moveaxis(images, 1, -1))
@@ -920,12 +980,14 @@ class Inferer:
         if any(pads):
             vols = jnp.pad(vols, [(0, 0)] + [(0, p) for p in pads]
                            + [(0, 0)], mode='reflect')
+        if self.mesh is not None:
+            vols, ctx = _shard_pass_inputs(self.mesh, vols, ctx, n_eff)
         outs = _whole_volume_batch_jit(group_predictor, ctx, vols, tta,
                                        device_mode)
         if any(pads):
             outs = self._crop_margins(outs, vols.shape[1:-1],
                                       tuple(img_shape), 1)
-        return outs
+        return [o[:n_passes] for o in outs] if pad_n else outs
 
     def run_fpl_uncertainty(self, group_predictor: Callable, ctx, image,
                             n_passes: int, margins=None,

@@ -82,3 +82,66 @@ def test_async_writer_error_surfaces_on_flush(tmp_path):
     w.submit(d, 'run', 1, _state(1.0), 0.1)
     with pytest.raises(Exception):
         w.flush()
+
+def test_async_writer_keeps_first_error(tmp_path, monkeypatch):
+    """Two failing saves: flush re-raises the ROOT-CAUSE (first) error,
+    not the last one."""
+    errs = [RuntimeError('root cause'), RuntimeError('follow-on')]
+    calls = []
+
+    def boom(*a, **k):
+        calls.append(1)
+        raise errs[len(calls) - 1]
+
+    monkeypatch.setattr(ckpt_lib, 'save_checkpoint', boom)
+    w = ckpt_lib.CheckpointWriter()
+    # the stored error may legally surface at the NEXT submit or at flush
+    # (submit pre-checks the error slot); either way it must be the first
+    with pytest.raises(RuntimeError, match='root cause'):
+        w.submit(str(tmp_path), 'run', 1, _state(1.0), 0.1)
+        w.submit(str(tmp_path), 'run', 2, _state(2.0), 0.2)
+        w.flush()
+
+
+def test_async_writer_queue_is_bounded(tmp_path):
+    """Each pending item pins a full state snapshot; the queue must be
+    bounded so a slow disk degrades to synchronous saving instead of
+    growing until device OOM. Submit MORE than the bound while the worker
+    is stalled and check the backlog never exceeds it."""
+    import threading
+    import time
+
+    w = ckpt_lib.CheckpointWriter(max_pending=2)
+    assert w._q.maxsize == 2
+    gate = threading.Event()
+    orig = ckpt_lib.save_checkpoint
+
+    def slow(*a, **k):
+        gate.wait(timeout=30)
+        return orig(*a, **k)
+
+    ckpt_lib_save, ckpt_lib.save_checkpoint = \
+        ckpt_lib.save_checkpoint, slow
+    try:
+        done = []
+
+        def producer():
+            for it in range(5):
+                w.submit(str(tmp_path), 'run', it, _state(float(it)), 0.1)
+                done.append(it)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        time.sleep(1.0)
+        # worker stalled on item 0; the bounded queue holds 2 more; the
+        # producer is BLOCKED before submitting all 5
+        assert len(done) < 5
+        assert w._q.qsize() <= 2
+        gate.set()
+        t.join(timeout=30)
+        assert done == list(range(5))
+        w.close()
+    finally:
+        ckpt_lib.save_checkpoint = ckpt_lib_save
+    for it in range(5):
+        assert os.path.exists(str(tmp_path) + '/run_{0}.ckpt'.format(it))

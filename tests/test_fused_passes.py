@@ -184,14 +184,45 @@ def test_run_fpl_uncertainty_rejects_nonlogits(net):
                       jnp.stack([jax.random.PRNGKey(0)])), img, 1)
 
 
-def test_run_passes_rejects_mesh(net):
+@pytest.mark.parametrize('sw,n_pass', [(True, 4), (True, 6), (False, 6)])
+def test_mc_fold_on_mesh_matches_single_device(net, sw, n_pass):
+    """Pass-axis mesh partitioning: the folded program over the 8-device
+    mesh is voxel-identical to the single-device fold (incl. n_passes=6,
+    which pads to 8 lanes and drops the padded outputs)."""
     netw, variables = net
     from fpl_plus_tpu.parallel.mesh import make_mesh
-    cfg = {'sliding_window_enable': True, 'sliding_window_size': [8, 8, 8],
-           'sliding_window_stride': [8, 8, 8], 'tta_mode': 0}
-    inferer = Inferer(cfg, mesh=make_mesh())
-    img = np.zeros((1, 1, 8, 16, 16), np.float32)
-    with pytest.raises(ValueError, match='mesh'):
-        inferer.run_passes_async(netw.mc, (variables, jnp.int32(0),
-                                           jnp.stack([jax.random.PRNGKey(0)])),
-                                 img, 1)
+    img = np.random.RandomState(2).normal(
+        size=(1, 1, 10, 20, 24)).astype(np.float32)
+    cfg = {'sliding_window_enable': sw, 'sliding_window_size': [8, 16, 16],
+           'sliding_window_stride': [8, 16, 16], 'tta_mode': 1,
+           'infer_autopad_multiple': 16}
+    keys = jnp.stack(jax.random.split(jax.random.PRNGKey(13), n_pass))
+    ctx = (variables, jnp.int32(1), keys)
+    single = Inferer(cfg, patch_chunk=2).run_passes_async(
+        netw.mc, ctx, img, n_pass)()
+    meshed = Inferer(cfg, patch_chunk=2, mesh=make_mesh()).run_passes_async(
+        netw.mc, ctx, img, n_pass)()
+    assert meshed.shape == single.shape
+    np.testing.assert_allclose(meshed, single, atol=2e-4)
+
+
+def test_fpl_uncertainty_on_mesh_matches_single_device(net):
+    """The device-reduced FPL pass partitions over the mesh too: scalars
+    match the single-device reduction on the same 6 keys."""
+    netw, variables = net
+    from fpl_plus_tpu.parallel.mesh import make_mesh
+    img = np.random.RandomState(3).normal(
+        size=(1, 1, 12, 20, 24)).astype(np.float32)
+    cfg = {'sliding_window_enable': True, 'sliding_window_size': [8, 16, 16],
+           'sliding_window_stride': [8, 16, 16], 'tta_mode': 1,
+           'class_num': 2}
+    keys = jnp.stack(jax.random.split(jax.random.PRNGKey(17), 6))
+    ctx = (variables, jnp.int32(1), keys)
+    margins = ([1, 0, 2], [0, 3, 1])
+    v_s, b_s = Inferer(cfg, patch_chunk=2).run_fpl_uncertainty(
+        netw.mc, ctx, img, 6, margins)()
+    v_m, b_m = Inferer(cfg, patch_chunk=2,
+                       mesh=make_mesh()).run_fpl_uncertainty(
+        netw.mc, ctx, img, 6, margins)()
+    assert b_m == b_s
+    np.testing.assert_allclose(v_m, v_s, rtol=1e-4)
