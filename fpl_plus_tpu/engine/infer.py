@@ -830,8 +830,15 @@ class Inferer:
         to N ``run_async`` calls; ``fetch()`` returns one ``[N, K, *img]``
         array per head (``[N, *img]`` uint8 in label modes).
 
+        On a device mesh the VOLUME axis partitions across the devices
+        (same mechanism as the pass-axis fold: the batch pads to a
+        device-count multiple by repeating the last volume, padded outputs
+        are dropped, and XLA partitions the one-dispatch program —
+        collective-free, each device serving its share of the batch).
+
         Falls back to pipelined per-volume ``run_async`` when the batch
-        has one volume, sliding window is off, or a mesh is active."""
+        has one volume, sliding window is off, or the volume is
+        whole-window."""
         images = np.asarray(images)
         n = images.shape[0]
         if n == 0:
@@ -845,7 +852,7 @@ class Inferer:
         dim = len(img_shape)
         use_sw, window, stride = self._resolve_sw(img_shape)
         whole = all(window[d] >= img_shape[d] for d in range(dim))
-        if n == 1 or not use_sw or whole or self.mesh is not None:
+        if n == 1 or not use_sw or whole:
             fetches = [self.run_async(predictor, ctx, images[i:i + 1],
                                       tta_override) for i in range(n)]
 
@@ -864,9 +871,21 @@ class Inferer:
                     window, stride) -> Callable:
         """Shared batched sliding-window dispatch: ``images [N, C, *img]``
         (host layout) through ONE program; returns the fetch closure with
-        batched=True host formatting."""
+        batched=True host formatting. On a mesh the volume axis partitions
+        across the devices (padded to a device multiple; padded outputs
+        dropped)."""
+        n = images.shape[0]
+        pad_n = 0
+        if self.mesh is not None:
+            pad_n = (-n) % self.mesh.size
+            if pad_n:
+                images = np.concatenate(
+                    [images, np.repeat(images[-1:], pad_n, axis=0)], axis=0)
         outs = self._batch_core_dev(predictor, ctx, images, tta, window,
-                                    stride)
+                                    stride,
+                                    pass_sharded=self.mesh is not None)
+        if pad_n:
+            outs = [o[:n] for o in outs]
         return self._finish_outputs(outs, batched=True)
 
     def _batch_core_dev(self, predictor: Callable, ctx, images, tta: bool,

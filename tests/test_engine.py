@@ -455,6 +455,14 @@ def test_batched_inference_matches_per_volume(rng, output_mode):
     one = np.asarray(inf.run_batch(pred, (), imgs[:1]))
     np.testing.assert_allclose(one, single[:1], rtol=1e-5, atol=1e-6)
 
+    # mesh: the volume axis partitions over the devices (N=3 pads to 8
+    # lanes, padded outputs dropped) — voxel-identical to single-device
+    from fpl_plus_tpu.parallel.mesh import make_mesh
+    inf_m = Inferer(dict(cfg), patch_chunk=2, mesh=make_mesh())
+    meshed = np.asarray(inf_m.run_batch(pred, (), imgs))
+    assert meshed.shape == single.shape
+    np.testing.assert_allclose(meshed, single, rtol=1e-5, atol=1e-6)
+
 
 def test_static_grid_matches_bucketed(rng):
     """infer_shape_bucket=0 (static per-shape window grid, in-place
