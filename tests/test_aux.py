@@ -145,3 +145,32 @@ NormalizeWithMeanStd_channels = [0]
     arr = load_image_as_nd_array(str(out))['data_array']
     assert abs(float(arr.mean())) < 1e-4
     assert abs(float(arr.std()) - 1.0) < 1e-3
+
+
+def test_compilation_cache_dir_keyed_by_cpu_microarch(monkeypatch):
+    """XLA:CPU executables embed the compile machine's feature set and jax's
+    persistent-cache key does not — loading an entry written on a different
+    microarch segfaults. On the cpu backend the default cache path must be
+    keyed by a host-feature fingerprint; an explicit env request wins."""
+    from fpl_plus_tpu.cli import _cpu_microarch_tag, _enable_compilation_cache
+
+    tag = _cpu_microarch_tag()
+    assert len(tag) == 10
+
+    prior = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.delenv('JAX_COMPILATION_CACHE_DIR', raising=False)
+        _enable_compilation_cache()
+        import os
+        assert jax.default_backend() == 'cpu'   # conftest pins the cpu mesh
+        assert os.environ['JAX_COMPILATION_CACHE_DIR'] == \
+            '/tmp/jaxcache-cpu-' + tag
+        assert jax.config.jax_compilation_cache_dir == \
+            '/tmp/jaxcache-cpu-' + tag
+
+        monkeypatch.setenv('JAX_COMPILATION_CACHE_DIR',
+                           str('/tmp/explicit-dir'))
+        _enable_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir == '/tmp/explicit-dir'
+    finally:
+        jax.config.update('jax_compilation_cache_dir', prior)
