@@ -291,6 +291,8 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import jax
     try:
+        from fpl_plus_tpu.utils.jaxcache import harden_compilation_cache
+        harden_compilation_cache()
         jax.config.update('jax_compilation_cache_dir',
                           os.environ['JAX_COMPILATION_CACHE_DIR'])
     except Exception:

@@ -37,41 +37,36 @@ def _respect_platform_env() -> None:
             jax.config.update('jax_platforms', plat)
 
 
-def _cpu_microarch_tag() -> str:
-    """Fingerprint of the host CPU's feature flags. XLA:CPU executables are
-    AOT-compiled for the compile machine's exact features (avx512/amx/...)
-    and jax's persistent-cache key does NOT include them — loading an entry
-    written on a different microarch SEGFAULTS inside
-    ``compilation_cache.get_executable_and_time`` (observed after a VM
-    migration changed the visible features under the same cache path)."""
-    import hashlib
-    flags = ''
-    try:
-        with open('/proc/cpuinfo') as f:
-            for line in f:
-                if line.startswith('flags'):
-                    flags = ' '.join(sorted(line.split(':', 1)[1].split()))
-                    break
-    except OSError:  # pragma: no cover - non-Linux fallback
-        import platform
-        flags = platform.processor() or platform.machine()
-    return hashlib.sha1(flags.encode()).hexdigest()[:10]
-
-
 def _enable_compilation_cache() -> None:
     """Persist XLA executables across processes (the remote TPU compile of
     the sliding-window program is minutes-long; with the cache a fresh
     ``test`` stage reuses the binary from a previous run).
 
-    On the CPU backend the default cache path is keyed by the host
-    microarch (see ``_cpu_microarch_tag``); an explicitly exported
-    ``JAX_COMPILATION_CACHE_DIR`` is still honoured as-is."""
+    Two hardenings, both against reproduced in-process segfaults (nothing
+    checksums the payload XLA (de)serializes):
+
+    * the persistent cache is NOT enabled on the cpu backend: jaxlib
+      0.9's XLA:CPU cannot round-trip MULTI-DEVICE (SPMD mesh)
+      executables — serialization segfaults in
+      ``put_executable_and_time``, and when it does succeed the written
+      bytes segfault the next run's ``get_executable_and_time``
+      (reproduced both ways on the 8-device mesh CLI train step;
+      single-device entries were fine). CPU compiles are seconds — the
+      cache exists for the minutes-long TPU tunnel compiles. An
+      explicitly exported ``JAX_COMPILATION_CACHE_DIR`` is still
+      honoured as-is, on any backend.
+    * entry writes are made ATOMIC (``utils/jaxcache.py`` — jax's stock
+      put writes straight to the final path, so a killed writer or a
+      concurrent reader in another process sees a truncated executable).
+    """
     try:
+        from fpl_plus_tpu.utils.jaxcache import harden_compilation_cache
+        harden_compilation_cache()
         import jax
         if 'JAX_COMPILATION_CACHE_DIR' in os.environ:
             cache_dir = os.environ['JAX_COMPILATION_CACHE_DIR']
         elif jax.default_backend() == 'cpu':
-            cache_dir = '/tmp/jaxcache-cpu-' + _cpu_microarch_tag()
+            return
         else:
             cache_dir = '/tmp/jaxcache'
         os.environ['JAX_COMPILATION_CACHE_DIR'] = cache_dir

@@ -19,6 +19,11 @@ jax.config.update('jax_platforms', 'cpu')
 import numpy as np
 import pytest
 
+# crash-safe cache writes for every in-process compile (subprocess-spawning
+# tests go through the CLI, which applies the same hardening)
+from fpl_plus_tpu.utils.jaxcache import harden_compilation_cache
+harden_compilation_cache()
+
 
 REFERENCE_DATASET = '/root/reference/dataset'
 

@@ -147,26 +147,25 @@ NormalizeWithMeanStd_channels = [0]
     assert abs(float(arr.std()) - 1.0) < 1e-3
 
 
-def test_compilation_cache_dir_keyed_by_cpu_microarch(monkeypatch):
-    """XLA:CPU executables embed the compile machine's feature set and jax's
-    persistent-cache key does not — loading an entry written on a different
-    microarch segfaults. On the cpu backend the default cache path must be
-    keyed by a host-feature fingerprint; an explicit env request wins."""
-    from fpl_plus_tpu.cli import _cpu_microarch_tag, _enable_compilation_cache
-
-    tag = _cpu_microarch_tag()
-    assert len(tag) == 10
+def test_no_persistent_cache_on_cpu_backend(monkeypatch):
+    """jaxlib 0.9's XLA:CPU cannot round-trip multi-device (SPMD mesh)
+    executables through the persistent compilation cache — serialization
+    segfaults (put_executable_and_time), and entries that do get written
+    segfault the next run's read (get_executable_and_time); both reproduced
+    on the 8-device mesh CLI train step. The CLI must therefore leave the
+    persistent cache OFF on the cpu backend; an explicit env request is
+    still honoured as-is (the operator's choice, any backend)."""
+    from fpl_plus_tpu.cli import _enable_compilation_cache
 
     prior = jax.config.jax_compilation_cache_dir
     try:
-        monkeypatch.delenv('JAX_COMPILATION_CACHE_DIR', raising=False)
-        _enable_compilation_cache()
         import os
         assert jax.default_backend() == 'cpu'   # conftest pins the cpu mesh
-        assert os.environ['JAX_COMPILATION_CACHE_DIR'] == \
-            '/tmp/jaxcache-cpu-' + tag
-        assert jax.config.jax_compilation_cache_dir == \
-            '/tmp/jaxcache-cpu-' + tag
+        monkeypatch.delenv('JAX_COMPILATION_CACHE_DIR', raising=False)
+        jax.config.update('jax_compilation_cache_dir', None)
+        _enable_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir is None
+        assert 'JAX_COMPILATION_CACHE_DIR' not in os.environ
 
         monkeypatch.setenv('JAX_COMPILATION_CACHE_DIR',
                            str('/tmp/explicit-dir'))
@@ -174,3 +173,48 @@ def test_compilation_cache_dir_keyed_by_cpu_microarch(monkeypatch):
         assert jax.config.jax_compilation_cache_dir == '/tmp/explicit-dir'
     finally:
         jax.config.update('jax_compilation_cache_dir', prior)
+
+
+def test_compilation_cache_writes_are_atomic(tmp_path, monkeypatch):
+    """jax's stock LRUCache.put writes straight to the final entry path: a
+    killed writer (or a concurrent reader in another process — the
+    2-process multihost tests) sees a truncated serialized executable and
+    XLA's deserializer segfaults. harden_compilation_cache swaps in
+    tmp+fsync+os.replace: a reader can only observe a complete entry and a
+    killed writer leaves no entry behind."""
+    import os
+    from fpl_plus_tpu.utils.jaxcache import harden_compilation_cache
+    from jax._src.lru_cache import LRUCache
+
+    harden_compilation_cache()
+    harden_compilation_cache()   # idempotent: patch once
+    assert getattr(LRUCache.put, '_fplx_atomic', False)
+
+    cache = LRUCache(str(tmp_path), max_size=-1)
+
+    # the final entry path must not exist until the atomic rename
+    real_replace = os.replace
+    seen = {}
+
+    def checking_replace(src, dst):
+        seen['dst_preexisted'] = os.path.exists(dst)
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, 'replace', checking_replace)
+    cache.put('entry-a', b'x' * 4096)
+    assert seen == {'dst_preexisted': False}
+    assert cache.get('entry-a') == b'x' * 4096
+    cache.put('entry-a', b'y' * 8)           # first writer wins (jax parity)
+    assert cache.get('entry-a') == b'x' * 4096
+
+    # a writer killed mid-put leaves NO entry (not a truncated one)
+    def dying_replace(src, dst):
+        raise OSError('killed before publish')
+
+    monkeypatch.setattr(os, 'replace', dying_replace)
+    with pytest.raises(OSError):
+        cache.put('entry-b', b'z' * 4096)
+    monkeypatch.setattr(os, 'replace', real_replace)
+    assert cache.get('entry-b') is None
+    leftovers = [p for p in os.listdir(str(tmp_path)) if 'entry-b' in p]
+    assert leftovers == []

@@ -59,6 +59,8 @@ def main():
     import jax
     import jax.numpy as jnp
     try:
+        from fpl_plus_tpu.utils.jaxcache import harden_compilation_cache
+        harden_compilation_cache()
         jax.config.update('jax_compilation_cache_dir',
                           os.environ['JAX_COMPILATION_CACHE_DIR'])
     except Exception:

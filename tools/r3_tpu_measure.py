@@ -39,6 +39,8 @@ def emit(**kw):
 
 def build():
     import jax
+    from fpl_plus_tpu.utils.jaxcache import harden_compilation_cache
+    harden_compilation_cache()
     jax.config.update('jax_compilation_cache_dir',
                       os.environ['JAX_COMPILATION_CACHE_DIR'])
     from fpl_plus_tpu.models.registry import create_network, init_network
