@@ -54,7 +54,9 @@ def _enable_compilation_cache() -> None:
       single-device entries were fine). CPU compiles are seconds — the
       cache exists for the minutes-long TPU tunnel compiles. An
       explicitly exported ``JAX_COMPILATION_CACHE_DIR`` is still
-      honoured as-is, on any backend.
+      honoured on any backend — made safe by the SPMD-on-CPU guard
+      harden_compilation_cache installs (multi-device cpu executables
+      skip the cache entirely; single-device entries cache normally).
     * entry writes are made ATOMIC (``utils/jaxcache.py`` — jax's stock
       put writes straight to the final path, so a killed writer or a
       concurrent reader in another process sees a truncated executable).

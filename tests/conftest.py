@@ -16,6 +16,25 @@ if 'xla_force_host_platform_device_count' not in flags:
 import jax
 jax.config.update('jax_platforms', 'cpu')
 
+# The persistent compilation cache is OFF inside the suite process. After
+# enough XLA:CPU compile/free churn (~100 tests), jaxlib 0.9's executable
+# (de)serializers segfault — executable.serialize() of a fresh
+# SINGLE-device program, and deserialize of an intact entry, both
+# reproduced deterministically at suite scale yet fine in a fresh
+# interpreter (the crash is a page-aligned read fault inside libgcc_s's
+# eh_frame machinery — process-state corruption in jaxlib, not bad cache
+# bytes: a brand-new cache dir crashes identically). In-process tests
+# therefore never run those code paths. Subprocess-spawning tests DO get a
+# cache — fresh processes have no churn — via a microarch-keyed CPU dir
+# (XLA:CPU executables are AOT'd for the host's exact features; jax's key
+# ignores them, and loading a foreign-microarch entry crashes, so the TPU
+# tunnel's shared /tmp/jaxcache is never reused here).
+from fpl_plus_tpu.utils.jaxcache import cpu_microarch_tag
+
+os.environ['JAX_COMPILATION_CACHE_DIR'] = (
+    '/tmp/jaxcache-cpu-' + cpu_microarch_tag())
+jax.config.update('jax_enable_compilation_cache', False)
+
 import numpy as np
 import pytest
 

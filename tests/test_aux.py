@@ -218,3 +218,60 @@ def test_compilation_cache_writes_are_atomic(tmp_path, monkeypatch):
     assert cache.get('entry-b') is None
     leftovers = [p for p in os.listdir(str(tmp_path)) if 'entry-b' in p]
     assert leftovers == []
+
+
+def test_spmd_cpu_cache_guard(monkeypatch):
+    """Multi-device executables must never reach XLA:CPU's (de)serializer
+    through the persistent cache (jaxlib 0.9 segfaults on them, complete
+    bytes or not); single-device entries keep caching normally."""
+    from jax._src import compilation_cache as cc
+    from fpl_plus_tpu.utils.jaxcache import harden_compilation_cache
+
+    harden_compilation_cache()
+    assert getattr(cc, '_fplx_spmd_cpu_guard', False)
+
+    class Backend:
+        platform = 'cpu'
+
+    class Exe:
+        def __init__(self, n):
+            self._n = n
+
+        def local_devices(self):
+            return list(range(self._n))
+
+    calls = []
+    # the wrappers close over the stock functions at install time; route
+    # their delegation through a recording stub via the _get_cache seam
+    # instead: a None cache makes the stock functions no-op immediately.
+    monkeypatch.setattr(cc, '_get_cache', lambda backend: calls.append(
+        ('touched', getattr(backend, 'platform', ''))) or None)
+
+    # multi-device on cpu: both directions refuse before touching the cache
+    assert cc.get_executable_and_time('k', None, Backend(), [0] * 8) \
+        == (None, None)
+    cc.put_executable_and_time('k', 'm', Exe(8), Backend(), 1)
+    assert calls == []
+
+    # a span that cannot be determined is treated as multi-device
+    class Opaque:
+        def local_devices(self):
+            raise RuntimeError('gone')
+
+    cc.put_executable_and_time('k', 'm', Opaque(), Backend(), 1)
+    assert calls == []
+
+    # single-device on cpu: delegates to the stock path (touches the cache)
+    assert cc.get_executable_and_time('k', None, Backend(), [0]) \
+        == (None, None)
+    cc.put_executable_and_time('k', 'm', Exe(1), Backend(), 1)
+    assert [c[0] for c in calls] == ['touched', 'touched']
+
+    # non-cpu backends are untouched by the guard
+    class TpuBackend:
+        platform = 'tpu'
+
+    calls.clear()
+    assert cc.get_executable_and_time('k', None, TpuBackend(), [0] * 8) \
+        == (None, None)
+    assert [c[0] for c in calls] == ['touched']

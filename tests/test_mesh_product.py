@@ -139,14 +139,29 @@ def test_cli_mesh_train_test_eval_matches_single_device(mesh_workspace):
     mesh produces the same eval CSV as the identical single-device run: the
     global batch, loader seeding and jax PRNG streams are identical, so the
     only divergence is float reduction order (psum tree vs sequential), which
-    cannot move a case Dice materially over a few iterations."""
-    import jax
-    from fpl_plus_tpu.cli import main
-    assert jax.device_count() >= 8
+    cannot move a case Dice materially over a few iterations.
+
+    Each CLI run executes as its OWN process (how users invoke it). Running
+    them in-process is also correct, but after ~95 suite tests of XLA:CPU
+    compile/free churn, jaxlib 0.9 deterministically segfaults compiling
+    this test's 8-device SPMD program inside libgcc's eh_frame machinery
+    (kernel record: page-aligned read fault in libgcc_s during unwind-table
+    registration; the identical in-process test passes in a fresh
+    interpreter, cache or no cache — a jaxlib bug, not a product one)."""
+    import subprocess
+    import sys
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=8'
+    env['PYTHONPATH'] = '/root/repo'   # keep the TPU-tunnel plugin off
     results = {}
     for run, mesh in (('single', 1), ('mesh8', 8)):
         cfg_file = _write_cfg(mesh_workspace, run, mesh)
-        assert main(['train', cfg_file]) == 0
+        proc = subprocess.run(
+            [sys.executable, '-m', 'fpl_plus_tpu.cli', 'train', cfg_file],
+            env=env, cwd='/root/repo', timeout=900,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        assert proc.returncode == 0, proc.stdout.decode()[-2000:]
         csv = (mesh_workspace / 'result_{0}'.format(run) /
                '{0}_test'.format(run) / 'test_tumor_dice_all.csv')
         assert csv.exists()

@@ -130,6 +130,9 @@ def _env(pid=None, n=2, devices=4, port=PORT):
     # compile went over the tunnel). cli._respect_platform_env guards the
     # product; keeping the plugin off the path makes the test hermetic.
     env['PYTHONPATH'] = '/root/repo'
+    # the subprocesses inherit the suite's microarch-keyed CPU cache dir
+    # (conftest.py): single-device programs cache across runs; the
+    # SPMD-on-CPU guard keeps mesh executables out of the cache entirely
     env.pop('FPLX_COORDINATOR', None)
     env.pop('FPLX_NUM_PROCESSES', None)
     env.pop('FPLX_PROCESS_ID', None)
