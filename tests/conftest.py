@@ -8,7 +8,18 @@ import os
 os.environ['JAX_PLATFORMS'] = 'cpu'  # ambient env may hold the TPU backend
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
-    os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
+    flags = (flags + ' --xla_force_host_platform_device_count=8').strip()
+if 'xla_cpu_parallel_codegen_split_count' not in flags:
+    # XLA:CPU's thunk runtime splits every executable into ~32 LLVM
+    # modules for parallel codegen, each with its own unwinder/frame
+    # registration. On this 1-core CI host the parallelism has no upside;
+    # one module per executable compiles slightly faster here and cuts
+    # the per-process compile/free churn ~32x. (It reduces, but does NOT
+    # by itself avoid, the jaxlib churn crash documented in
+    # pyproject.toml's xdist note — measured: the single-process suite
+    # still crashed at the same test with this flag set.)
+    flags = (flags + ' --xla_cpu_parallel_codegen_split_count=1').strip()
+os.environ['XLA_FLAGS'] = flags
 
 # the TPU-tunnel sitecustomize (PYTHONPATH=/root/.axon_site) registers and
 # initializes the axon backend at interpreter start, before this file runs —
