@@ -162,7 +162,9 @@ class NetRunAgent(ABC):
                             modal_num=modal_num,
                             with_label=(real_stage != 'test'),
                             transform=transform, cache_bytes=cache_bytes,
-                            host_shard=host_shard)
+                            host_shard=host_shard,
+                            transform_cache=data_cfg.get('transform_cache',
+                                                         True))
 
     def create_dataset(self):
         data_cfg = self.config['dataset']

@@ -82,7 +82,8 @@ class SSLSegAgent(SegmentationAgent):
             csv_file=data_cfg['train_csv_unlab'],
             modal_num=data_cfg.get('modal_num', 1),
             with_label=False, transform=transform,
-            cache_bytes=cache_bytes, host_shard=host_shard)
+            cache_bytes=cache_bytes, host_shard=host_shard,
+            transform_cache=data_cfg.get('transform_cache', True))
         self.train_loader_unlab = DataLoader(
             dataset, batch_size=bn_unlab, shuffle=True,
             num_workers=workers, seed=self.random_seed + 100)

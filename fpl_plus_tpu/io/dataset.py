@@ -69,10 +69,65 @@ class _VolumeCache:
         return out
 
 
+def _copy_sample(sample: dict) -> dict:
+    """Shallow dict copy with ndarray values deep-copied: transforms mutate
+    arrays in place, so cached samples are exchanged by copy only."""
+    return {k: (v.copy() if isinstance(v, np.ndarray) else v)
+            for k, v in sample.items()}
+
+
+class _SampleCache:
+    """Byte-bounded LRU of POST-DETERMINISTIC-PREFIX samples keyed by item
+    index (deterministic-prefix transform caching).
+
+    Training recipes run the transform chain's deterministic head —
+    typically [Normalize, Pad] over the FULL volume — on every step, only
+    for the random tail to crop a small patch from the result: at the VS
+    recipe scale that is ~16x the voxel traffic the step actually consumes,
+    and with the device step at 0.110 s the 153 ms host pipeline had become
+    the training bottleneck (BASELINE.md "Host pipeline"). Caching each
+    item after the longest ``cache_safe()`` transform prefix leaves only
+    crop/flip/one-hot per step. Exactness: cache-safe transforms draw no
+    RNG, so the random tail sees bit-identical inputs AND an unchanged RNG
+    stream — the sample sequence is identical to the uncached loader's
+    (tested in tests/test_io.py)."""
+
+    def __init__(self, max_bytes: int):
+        from collections import OrderedDict
+        self.max_bytes = max_bytes
+        self.used = 0
+        self.store = OrderedDict()
+
+    @staticmethod
+    def _nbytes(sample: dict) -> int:
+        return sum(int(v.nbytes) for v in sample.values()
+                   if isinstance(v, np.ndarray))
+
+    def get(self, key):
+        entry = self.store.get(key)
+        if entry is None:
+            return None
+        self.store.move_to_end(key)
+        return _copy_sample(entry)
+
+    def put(self, key, sample: dict) -> None:
+        if key in self.store:
+            return
+        nbytes = self._nbytes(sample)
+        if nbytes > self.max_bytes:
+            return
+        while self.used + nbytes > self.max_bytes and self.store:
+            _, old = self.store.popitem(last=False)
+            self.used -= self._nbytes(old)
+        self.store[key] = _copy_sample(sample)
+        self.used += nbytes
+
+
 class NiftyDataset:
     def __init__(self, root_dir: str, csv_file: str, modal_num: int = 1,
                  with_label: bool = False, transform=None,
-                 cache_bytes: int = 0, host_shard=None):
+                 cache_bytes: int = 0, host_shard=None,
+                 transform_cache: bool = True):
         self.root_dir = root_dir
         self.csv_items = pd.read_csv(csv_file)
         if host_shard is not None:
@@ -92,6 +147,26 @@ class NiftyDataset:
         self.with_label = with_label
         self.transform = transform
         self._cache = _VolumeCache(cache_bytes) if cache_bytes else None
+        # deterministic-prefix transform caching (see _SampleCache): split
+        # the chain at the first non-cache-safe transform. Activated only
+        # when the decoded-volume cache is (budget shared rationale: both
+        # exist to feed repeated-epoch training; one-pass stages pass 0).
+        self._prefix = self._suffix = None
+        self._sample_cache = None
+        tlist = getattr(transform, 'transforms', None) or []
+        if cache_bytes and transform_cache and tlist:
+            n_det = 0
+            for t in tlist:
+                try:
+                    if not t.cache_safe():
+                        break
+                except Exception:
+                    break
+                n_det += 1
+            if n_det:
+                self._prefix = tlist[:n_det]
+                self._suffix = tlist[n_det:]
+                self._sample_cache = _SampleCache(cache_bytes)
         keys = list(self.csv_items.keys())
         self.image_weight_idx = (keys.index('image_weight')
                                  if 'image_weight' in keys else None)
@@ -126,7 +201,10 @@ class NiftyDataset:
         pixel_weight = np.where(pixel_weight < 1, 0.0, pixel_weight)
         return (pixel_weight * image_weight).astype(np.float32)
 
-    def __getitem__(self, idx):
+    def _raw_sample(self, idx) -> dict:
+        """The untransformed sample dict (decode + weight composition);
+        subclasses override this, not ``__getitem__``, so all variants share
+        the deterministic-prefix transform caching."""
         names_list, image_list = [], []
         image_dict = None
         for i in range(self.modal_num):
@@ -166,6 +244,25 @@ class NiftyDataset:
                                                     np.float32)
             except Exception:
                 sample['image1'] = image
+        return sample
+
+    def __getitem__(self, idx):
+        if self._sample_cache is not None:
+            sample = self._sample_cache.get(idx)
+            if sample is None:
+                sample = self._raw_sample(idx)
+                for t in self._prefix:
+                    sample = t(sample)
+                for t in self._suffix:
+                    # random transforms may stash deterministic derived
+                    # values (e.g. RandomCrop's fg bounding box) for reuse
+                    # on every cache hit; precompute draws no RNG
+                    sample = t.precompute(sample)
+                self._sample_cache.put(idx, sample)
+            for t in self._suffix:
+                sample = t(sample)
+            return sample
+        sample = self._raw_sample(idx)
         if self.transform:
             sample = self.transform(sample)
         return sample
@@ -176,9 +273,10 @@ class NiftyDatasetDual(NiftyDataset):
     (reference nifty_dataset.py:14-104)."""
 
     def __init__(self, root_dir, csv_file, modal_num=1, with_label=False,
-                 transform=None, cache_bytes=0, host_shard=None):
+                 transform=None, cache_bytes=0, host_shard=None,
+                 transform_cache=True):
         super().__init__(root_dir, csv_file, modal_num, with_label,
-                         transform, cache_bytes, host_shard)
+                         transform, cache_bytes, host_shard, transform_cache)
         keys = list(self.csv_items.keys())
         self.image1_idx = (keys.index('pixel_weight_nonl')
                            if 'pixel_weight_nonl' in keys else None)
@@ -191,15 +289,15 @@ class NiftyDatasetNpy(NiftyDataset):
 
     def __init__(self, root_dir, csv_file, modal_num=1, train_fpl_uda=False,
                  with_label=False, transform=None, cache_bytes=0,
-                 host_shard=None):
+                 host_shard=None, transform_cache=True):
         super().__init__(root_dir, csv_file, modal_num, with_label,
-                         transform, cache_bytes, host_shard)
+                         transform, cache_bytes, host_shard, transform_cache)
         self.train_fpl_uda = train_fpl_uda
         self.image_weight_idx = None
         self.pixel_weight_idx = None
         self.image1_idx = None
 
-    def __getitem__(self, idx):
+    def _raw_sample(self, idx):
         names_list, image_list = [], []
         image_dict = None
         for i in range(self.modal_num):
@@ -226,8 +324,6 @@ class NiftyDatasetNpy(NiftyDataset):
                 sample['label'] = np.asarray(
                     load_image_as_nd_array(name)['data_array'], np.int32)
             assert image.shape[1:] == sample['label'].shape[1:]
-        if self.transform:
-            sample = self.transform(sample)
         return sample
 
 
@@ -236,12 +332,12 @@ class ClassificationDataset(NiftyDataset):
 
     def __init__(self, root_dir, csv_file, modal_num=1, class_num=2,
                  with_label=False, transform=None, cache_bytes=0,
-                 host_shard=None):
+                 host_shard=None, transform_cache=True):
         super().__init__(root_dir, csv_file, modal_num, with_label,
-                         transform, cache_bytes, host_shard)
+                         transform, cache_bytes, host_shard, transform_cache)
         self.class_num = class_num
 
-    def __getitem__(self, idx):
+    def _raw_sample(self, idx):
         names_list, image_list = [], []
         for i in range(self.modal_num):
             image_name = self.csv_items.iloc[idx, i]
@@ -253,8 +349,6 @@ class ClassificationDataset(NiftyDataset):
         if self.with_label:
             col = list(self.csv_items.keys()).index('label')
             sample['label'] = np.int64(self.csv_items.iloc[idx, col])
-        if self.transform:
-            sample = self.transform(sample)
         return sample
 
 

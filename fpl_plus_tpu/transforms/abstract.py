@@ -41,6 +41,29 @@ class AbstractTransform(object):
         chain into a mask instead of round-tripping full volumes."""
         return None
 
+    def cache_safe(self) -> bool:
+        """True when this transform is a pure DETERMINISTIC function of the
+        input sample — no RNG draw, no per-call state — so a dataset may
+        cache its output across epochs (io/dataset.py deterministic-prefix
+        caching: training recipes re-run Normalize/Pad on the FULL volume
+        every step only to crop a small patch; caching the post-prefix
+        sample removes that work from the per-step host path). Transforms
+        whose determinism depends on config (e.g. NormalizeWithMeanStd's
+        ``ignore_non_positive`` random background fill) override this per
+        instance. Conservative default: False."""
+        return False
+
+    def precompute(self, sample):
+        """Hook for RANDOM transforms downstream of a cached deterministic
+        prefix: stash any expensive value that is a deterministic function
+        of the sample (e.g. RandomCrop's foreground bounding box) under a
+        ``<Name>_*`` JSON key, exactly like the ``*_Param`` inverse keys.
+        The dataset calls this once at cache-fill time with the
+        post-prefix sample; ``__call__`` may then reuse the stash instead
+        of recomputing per step. MUST draw no RNG (it runs outside the
+        per-item seeded stream). Default: no-op."""
+        return sample
+
     # -- helpers ----------------------------------------------------------
     def param(self, name, default=..., ):
         """Fetch ``<Prefix>_<name>`` (lower-cased) from the config params."""

@@ -26,6 +26,11 @@ class CenterCrop(AbstractTransform):
         self.output_size = self.param('output_size')
         self.inverse = self.param('inverse', True)
 
+    def cache_safe(self):
+        # deterministic (as is CropWithBoundingBox below); the Random*
+        # subclasses override back to False
+        return True
+
     def _get_crop_param(self, sample):
         input_shape = sample['image'].shape
         input_dim = len(input_shape) - 1
@@ -121,6 +126,31 @@ class RandomCrop(CenterCrop):
         if self.mask_label is not None:
             assert isinstance(self.mask_label, (list, tuple))
 
+    def cache_safe(self):
+        return False    # random crop origin
+
+    def _fg_bounding_box(self, label):
+        """Bounding box of the mask_label classes (deterministic in the
+        label map; no RNG)."""
+        mask = np.zeros_like(label)
+        for lab in self.mask_label:
+            mask = np.maximum(mask, label == lab)
+        if mask.sum() == 0:
+            return [0] * label.ndim, list(mask.shape)
+        bb_min, bb_max = get_nd_bounding_box(mask)
+        return list(bb_min), list(bb_max)
+
+    def precompute(self, sample):
+        # the full-volume foreground bbox scan dominates the cache-hit item
+        # path (measured 14 ms/item vs 3 ms for everything else) — stash it
+        # once per cached item; _get_crop_param reuses it with identical
+        # RNG-draw order
+        if self.fg_focus and 'label' in sample:
+            import json as _json
+            sample['RandomCrop_fgbb'] = _json.dumps(
+                self._fg_bounding_box(sample['label']))
+        return sample
+
     def _get_crop_param(self, sample):
         input_shape = sample['image'].shape
         input_dim = len(input_shape) - 1
@@ -131,15 +161,14 @@ class RandomCrop(CenterCrop):
         crop_margin = [input_shape[i + 1] - out_size[i] for i in range(input_dim)]
         crop_min = [0 if m == 0 else random.randint(0, m) for m in crop_margin]
         if self.fg_focus and random.random() < self.fg_ratio:
-            label = sample['label']
-            mask = np.zeros_like(label)
-            for lab in self.mask_label:
-                mask = np.maximum(mask, label == lab)
-            if mask.sum() == 0:
-                bb_min = [0] * (input_dim + 1)
-                bb_max = list(mask.shape)
+            stash = sample.get('RandomCrop_fgbb')
+            if stash is not None:
+                import json as _json
+                if isinstance(stash, (list, tuple, np.ndarray)):
+                    stash = stash[0]   # post-collation wrapping
+                bb_min, bb_max = _json.loads(stash)
             else:
-                bb_min, bb_max = get_nd_bounding_box(mask)
+                bb_min, bb_max = self._fg_bounding_box(sample['label'])
             bb_min, bb_max = bb_min[1:], bb_max[1:]
             crop_min = [random.randint(bb_min[i], bb_max[i]) - out_size[i] // 2
                         for i in range(input_dim)]
@@ -163,6 +192,9 @@ class RandomResizedCrop(CenterCrop):
         self.scale = self.param('scale')
         self.ratio = self.param('ratio')
         self.inverse = False
+
+    def cache_safe(self):
+        return False    # random crop + random scale/ratio
 
     def inverse_transform_for_prediction(self, sample):
         raise ValueError('RandomResizedCrop predictions cannot be pasted '

@@ -58,6 +58,9 @@ class GaussianNoise(AbstractTransform):
 
 
 class GrayscaleToRGB(AbstractTransform):
+    def cache_safe(self):
+        return True
+
     def __init__(self, params):
         super().__init__(params)
         self.inverse = self.param('inverse', False)

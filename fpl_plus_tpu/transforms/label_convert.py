@@ -12,7 +12,14 @@ from fpl_plus_tpu.transforms.abstract import AbstractTransform
 from fpl_plus_tpu.utils.image_process import convert_label
 
 
-class ReduceLabelDim(AbstractTransform):
+class _DeterministicLabelTransform(AbstractTransform):
+    """Every label-conversion transform is a pure function of the sample."""
+
+    def cache_safe(self):
+        return True
+
+
+class ReduceLabelDim(_DeterministicLabelTransform):
     def __init__(self, params):
         super().__init__(params)
         self.inverse = self.param('inverse', False)
@@ -22,7 +29,7 @@ class ReduceLabelDim(AbstractTransform):
         return sample
 
 
-class LabelConvert(AbstractTransform):
+class LabelConvert(_DeterministicLabelTransform):
     def __init__(self, params):
         super().__init__(params)
         self.source_list = self.param('source_list')
@@ -36,7 +43,7 @@ class LabelConvert(AbstractTransform):
         return sample
 
 
-class LabelConvertNonzero(AbstractTransform):
+class LabelConvertNonzero(_DeterministicLabelTransform):
     def __init__(self, params):
         super().__init__(params)
         self.inverse = self.param('inverse', False)
@@ -46,7 +53,7 @@ class LabelConvertNonzero(AbstractTransform):
         return sample
 
 
-class LabelToProbability(AbstractTransform):
+class LabelToProbability(_DeterministicLabelTransform):
     def __init__(self, params):
         super().__init__(params)
         self.class_num = self.param('class_num')
@@ -66,7 +73,7 @@ class LabelToProbability(AbstractTransform):
         return sample
 
 
-class PartialLabelToProbability(AbstractTransform):
+class PartialLabelToProbability(_DeterministicLabelTransform):
     """One-hot for scribble supervision: class index ``class_num`` marks
     unlabeled voxels, which get pixel_weight 0 (WSL path)."""
 

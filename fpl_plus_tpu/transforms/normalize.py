@@ -39,6 +39,11 @@ class NormalizeWithMeanStd(AbstractTransform):
         self.ignore_np = self.param('ignore_non_positive', False)
         self.inverse = self.param('inverse', False)
 
+    def cache_safe(self):
+        # ignore_non_positive fills the background with fresh gaussian
+        # noise every call — only the plain z-score is deterministic
+        return not self.ignore_np
+
     def __call__(self, sample):
         image = sample['image']
         chns = self.chns if self.chns is not None else range(image.shape[0])
@@ -72,6 +77,9 @@ class NormalizeWithMinMax(AbstractTransform):
         self.thred_upper = self.param('threshold_upper')
         self.inverse = self.param('inverse', False)
 
+    def cache_safe(self):
+        return True
+
     def __call__(self, sample):
         image = sample['image']
         chns = self.chns if self.chns is not None else range(image.shape[0])
@@ -95,6 +103,9 @@ class NormalizeWithPercentiles(AbstractTransform):
         self.percent_lower = self.param('percentile_lower')
         self.percent_upper = self.param('percentile_upper')
         self.inverse = self.param('inverse', False)
+
+    def cache_safe(self):
+        return True
 
     def __call__(self, sample):
         image = sample['image']

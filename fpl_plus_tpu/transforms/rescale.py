@@ -22,6 +22,10 @@ class Rescale(AbstractTransform):
         self.inverse = self.param('inverse', True)
         assert isinstance(self.output_size, (int, list, tuple))
 
+    def cache_safe(self):
+        # fixed target size is deterministic; RandomRescale overrides
+        return type(self) is Rescale
+
     def _get_scale(self, input_shape):
         input_dim = len(input_shape) - 1
         if isinstance(self.output_size, (list, tuple)):

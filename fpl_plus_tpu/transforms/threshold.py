@@ -10,6 +10,9 @@ from fpl_plus_tpu.transforms.abstract import AbstractTransform
 
 
 class ChannelWiseThreshold(AbstractTransform):
+    def cache_safe(self):
+        return True
+
     def __init__(self, params):
         super().__init__(params)
         self.channels = self.param('channels')
@@ -47,6 +50,10 @@ class ChannelWiseThresholdWithNormalize(AbstractTransform):
         self.threshold_upper = self.param('threshold_upper')
         self.mean_std_mode = self.param('mean_std_mode')
         self.inverse = self.param('inverse', False)
+
+    def cache_safe(self):
+        # mean_std_mode fills out-of-threshold voxels with fresh noise
+        return not self.mean_std_mode
 
     def __call__(self, sample):
         image = sample['image']

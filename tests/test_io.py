@@ -136,3 +136,79 @@ def test_prefetch_iter_order_and_errors():
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match='decode failed'):
         list(it)
+
+
+def _vs_style_chain(ignore_non_positive=False):
+    """The flagship training chain shape: deterministic [Normalize, Pad]
+    head, RNG-consuming [RandomCrop, RandomFlip] tail, one-hot last."""
+    from fpl_plus_tpu.transforms.trans_dict import build_transforms
+    params = {'task': 'segmentation',
+              'normalizewithmeanstd_channels': [0],
+              'normalizewithmeanstd_ignore_non_positive': ignore_non_positive,
+              'pad_output_size': [16, 48, 56],
+              'randomcrop_output_size': [8, 24, 24],
+              'randomcrop_foreground_focus': True,   # exercises the
+              'randomcrop_foreground_ratio': 0.7,    # precomputed-bbox stash
+              'randomcrop_mask_label': [1],
+              'randomflip_flip_depth': False,
+              'randomflip_flip_height': True,
+              'randomflip_flip_width': True,
+              'labeltoprobability_class_num': 2}
+    return build_transforms(['NormalizeWithMeanStd', 'Pad', 'RandomCrop',
+                             'RandomFlip', 'LabelToProbability'], params)[1]
+
+
+def test_transform_prefix_cache_stream_parity(fixture_dir, tmp_path):
+    """Deterministic-prefix transform caching yields a sample stream
+    bit-identical to the uncached loader across cache-hit epochs (the
+    random tail must see unchanged inputs AND an unchanged RNG stream)."""
+    import numpy as np
+    from fpl_plus_tpu.io.dataset import NiftyDataset
+    from fpl_plus_tpu.io.loader import DataLoader
+
+    csv = tmp_path / 'm.csv'
+    csv.write_text('image,label\nimg.nii.gz,lab.nii.gz\n')
+    mk = lambda cache: NiftyDataset(
+        str(fixture_dir), str(csv), with_label=True,
+        transform=_vs_style_chain(), cache_bytes=(1 << 30) if cache else 0)
+    base, cached = mk(False), mk(True)
+    assert cached._sample_cache is not None
+    assert [type(t).__name__ for t in cached._prefix] == \
+        ['NormalizeWithMeanStd', 'Pad']
+    assert base._sample_cache is None
+
+    ib = DataLoader(base, batch_size=2, shuffle=True, seed=11).stream()
+    ic = DataLoader(cached, batch_size=2, shuffle=True, seed=11).stream()
+    for step in range(5):   # 1-item manifest: step >= 1 exercises hits
+        bb, bc = next(ib), next(ic)
+        np.testing.assert_array_equal(bb['image'], bc['image'])
+        np.testing.assert_array_equal(bb['label_prob'], bc['label_prob'])
+    assert len(cached._sample_cache.store) == 1
+
+    # cached arrays are mutation-isolated between reads
+    s1 = cached[0]
+    s1['image'][:] = 1e9
+    s2 = cached[0]
+    assert float(np.abs(s2['image']).max()) < 1e8
+
+
+def test_transform_prefix_cache_disabled_when_prefix_random(fixture_dir,
+                                                            tmp_path):
+    """ignore_non_positive makes Normalize draw RNG -> no cache-safe
+    prefix -> caching must deactivate (and the plain path still runs)."""
+    from fpl_plus_tpu.io.dataset import NiftyDataset
+
+    csv = tmp_path / 'm.csv'
+    csv.write_text('image,label\nimg.nii.gz,lab.nii.gz\n')
+    ds = NiftyDataset(str(fixture_dir), str(csv), with_label=True,
+                      transform=_vs_style_chain(ignore_non_positive=True),
+                      cache_bytes=1 << 30)
+    assert ds._sample_cache is None
+    sample = ds[0]
+    assert sample['label_prob'].shape[0] == 2
+
+    # transform_cache=False is an explicit off-switch
+    ds2 = NiftyDataset(str(fixture_dir), str(csv), with_label=True,
+                       transform=_vs_style_chain(), cache_bytes=1 << 30,
+                       transform_cache=False)
+    assert ds2._sample_cache is None
