@@ -253,11 +253,13 @@ class NiftyDataset:
                 sample = self._raw_sample(idx)
                 for t in self._prefix:
                     sample = t(sample)
-                for t in self._suffix:
-                    # random transforms may stash deterministic derived
-                    # values (e.g. RandomCrop's fg bounding box) for reuse
-                    # on every cache hit; precompute draws no RNG
-                    sample = t.precompute(sample)
+                if self._suffix:
+                    # ONLY the first suffix transform sees the post-prefix
+                    # sample unchanged at call time, so only its stash is
+                    # guaranteed valid (e.g. a RandomFlip BEFORE RandomCrop
+                    # would move the stashed fg bounding box); precompute
+                    # draws no RNG
+                    sample = self._suffix[0].precompute(sample)
                 self._sample_cache.put(idx, sample)
             for t in self._suffix:
                 sample = t(sample)

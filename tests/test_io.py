@@ -212,3 +212,46 @@ def test_transform_prefix_cache_disabled_when_prefix_random(fixture_dir,
                        transform=_vs_style_chain(), cache_bytes=1 << 30,
                        transform_cache=False)
     assert ds2._sample_cache is None
+
+
+def test_transform_prefix_cache_flip_before_crop_parity(fixture_dir,
+                                                        tmp_path):
+    """A random transform BETWEEN the cached prefix and RandomCrop (here
+    RandomFlip) invalidates RandomCrop's precomputed fg bounding box — the
+    dataset must only stash for the FIRST suffix transform, so this chain
+    runs un-stashed and must still match the uncached stream exactly."""
+    import numpy as np
+    from fpl_plus_tpu.io.dataset import NiftyDataset
+    from fpl_plus_tpu.io.loader import DataLoader
+    from fpl_plus_tpu.transforms.trans_dict import build_transforms
+
+    params = {'task': 'segmentation',
+              'normalizewithmeanstd_channels': [0],
+              'pad_output_size': [16, 48, 56],
+              'randomcrop_output_size': [8, 24, 24],
+              'randomcrop_foreground_focus': True,
+              'randomcrop_foreground_ratio': 1.0,   # bbox path every draw
+              'randomcrop_mask_label': [1],
+              'randomflip_flip_depth': False,
+              'randomflip_flip_height': True,
+              'randomflip_flip_width': True,
+              'labeltoprobability_class_num': 2}
+    names = ['NormalizeWithMeanStd', 'Pad', 'RandomFlip', 'RandomCrop',
+             'LabelToProbability']
+    csv = tmp_path / 'm.csv'
+    csv.write_text('image,label\nimg.nii.gz,lab.nii.gz\n')
+    mk = lambda cache: NiftyDataset(
+        str(fixture_dir), str(csv), with_label=True,
+        transform=build_transforms(names, params)[1],
+        cache_bytes=(1 << 30) if cache else 0)
+    base, cached = mk(False), mk(True)
+    assert [type(t).__name__ for t in cached._suffix][0] == 'RandomFlip'
+    ib = DataLoader(base, batch_size=2, shuffle=True, seed=5).stream()
+    ic = DataLoader(cached, batch_size=2, shuffle=True, seed=5).stream()
+    for _ in range(4):
+        bb, bc = next(ib), next(ic)
+        np.testing.assert_array_equal(bb['image'], bc['image'])
+        np.testing.assert_array_equal(bb['label_prob'], bc['label_prob'])
+    # and no stale bbox stash was written for RandomCrop
+    entry = next(iter(cached._sample_cache.store.values()))
+    assert 'RandomCrop_fgbb' not in entry
