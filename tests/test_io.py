@@ -255,3 +255,36 @@ def test_transform_prefix_cache_flip_before_crop_parity(fixture_dir,
     # and no stale bbox stash was written for RandomCrop
     entry = next(iter(cached._sample_cache.store.values()))
     assert 'RandomCrop_fgbb' not in entry
+
+
+def test_transform_prefix_cache_parity_across_worker_counts(fixture_dir,
+                                                            tmp_path):
+    """Per-item seeding makes the sample stream independent of worker
+    count; the prefix cache (filled independently in each forkserver
+    worker) must preserve that — sync+cached vs 2-worker+cached vs
+    sync+uncached all yield identical batches."""
+    import numpy as np
+    from fpl_plus_tpu.io.dataset import NiftyDataset
+    from fpl_plus_tpu.io.loader import DataLoader
+
+    csv = tmp_path / 'm.csv'
+    csv.write_text('image,label\nimg.nii.gz,lab.nii.gz\n')
+
+    def batches(workers, cache):
+        ds = NiftyDataset(str(fixture_dir), str(csv), with_label=True,
+                          transform=_vs_style_chain(),
+                          cache_bytes=(1 << 30) if cache else 0)
+        loader = DataLoader(ds, batch_size=2, shuffle=True,
+                            num_workers=workers, seed=13)
+        st = loader.stream()
+        out = [next(st) for _ in range(4)]
+        loader.shutdown()
+        return out
+
+    ref = batches(0, False)
+    for workers, cache in ((0, True), (2, True)):
+        got = batches(workers, cache)
+        for b_ref, b_got in zip(ref, got):
+            np.testing.assert_array_equal(b_ref['image'], b_got['image'])
+            np.testing.assert_array_equal(b_ref['label_prob'],
+                                          b_got['label_prob'])
