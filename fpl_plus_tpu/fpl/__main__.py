@@ -9,6 +9,9 @@ subcommands:
          --image-dir DIR --pseudo-label-dir DIR --pixel-weight-dir DIR
   python -m fpl_plus_tpu.fpl write-csv     --image-dir DIR --output CSV [--label-dir DIR]
   python -m fpl_plus_tpu.fpl split-csv     --input CSV --output CSV:COUNT [...] [--seed N]
+  python -m fpl_plus_tpu.fpl preprocess-vs-source IMG LAB OUT_IMG OUT_LAB
+  python -m fpl_plus_tpu.fpl preprocess-vs-target IMG OUT_IMG
+  python -m fpl_plus_tpu.fpl preprocess-bst       IMG LAB OUT_IMG OUT_LAB
 """
 from __future__ import annotations
 
@@ -50,6 +53,23 @@ def main(argv=None):
                    help='PATH:COUNT (COUNT=-1 for remainder), repeatable')
     p.add_argument('--seed', type=int, default=2022)
 
+    p = sub.add_parser('preprocess-vs-source',
+                       help='VS ceT1 fixed-physical-bbox crop '
+                            '(reference data/preprocess_vs.py:63-98)')
+    p.add_argument('image'), p.add_argument('label')
+    p.add_argument('out_image'), p.add_argument('out_label')
+
+    p = sub.add_parser('preprocess-vs-target',
+                       help='VS hrT2 crop + 256x256 zoom '
+                            '(preprocess_vs.py:100-135)')
+    p.add_argument('image'), p.add_argument('out_image')
+
+    p = sub.add_parser('preprocess-bst',
+                       help='BraTS binarize+window+depth-crop '
+                            '(data/preprocess_bst.py:35-49)')
+    p.add_argument('image'), p.add_argument('label')
+    p.add_argument('out_image'), p.add_argument('out_label')
+
     args = parser.parse_args(argv)
     if args.cmd == 'pixel-weight':
         compute_pixel_weights(args.pseudo_target, args.pseudo_fake_source,
@@ -69,6 +89,17 @@ def main(argv=None):
             path, count = spec.rsplit(':', 1)
             outputs.append((path, int(count)))
         random_split_csv(args.input, outputs, args.seed)
+    elif args.cmd == 'preprocess-vs-source':
+        from fpl_plus_tpu.fpl.preprocess import vs_source_crop
+        vs_source_crop(args.image, args.label, args.out_image,
+                       args.out_label)
+    elif args.cmd == 'preprocess-vs-target':
+        from fpl_plus_tpu.fpl.preprocess import vs_target_crop
+        vs_target_crop(args.image, args.out_image)
+    elif args.cmd == 'preprocess-bst':
+        from fpl_plus_tpu.fpl.preprocess import preprocess_bst_case
+        preprocess_bst_case(args.image, args.label, args.out_image,
+                            args.out_label)
     return 0
 
 

@@ -129,3 +129,42 @@ def corrupt_label_boundary(lab: np.ndarray,
                 patch = ndimage.binary_dilation(patch > 0, struct)
             out[sl] = patch.astype(out.dtype)
     return out
+
+
+def main(argv=None):
+    """CLI over ``corrupt_label_boundary`` (the reference runs its noise
+    maker from a notebook-style __main__): corrupt every label volume of a
+    directory into simulated noisy annotations for the NLL paradigms."""
+    import argparse
+    import os
+    import sys
+
+    from fpl_plus_tpu.io.image_io import (load_image_as_nd_array,
+                                          save_nd_array_as_image)
+
+    ap = argparse.ArgumentParser(prog='python -m '
+                                      'fpl_plus_tpu.utils.make_noise')
+    ap.add_argument('label_dir')
+    ap.add_argument('output_dir')
+    ap.add_argument('--patch-size', type=int, nargs=3, default=[6, 16, 16])
+    ap.add_argument('--patch-num', type=int, default=5)
+    ap.add_argument('--seed', type=int, default=2024)
+    args = ap.parse_args(argv if argv is not None else sys.argv[1:])
+    rng = np.random.RandomState(args.seed)
+    os.makedirs(args.output_dir, exist_ok=True)
+    names = sorted(n for n in os.listdir(args.label_dir)
+                   if n.endswith(('.nii', '.nii.gz', '.mha')))
+    for name in names:
+        src = os.path.join(args.label_dir, name)
+        lab = load_image_as_nd_array(src)['data_array'][0]
+        noisy = corrupt_label_boundary(lab, tuple(args.patch_size),
+                                       args.patch_num, rng)
+        save_nd_array_as_image(noisy.astype(np.int16),
+                               os.path.join(args.output_dir, name), src)
+    print('corrupted {0} label volumes -> {1}'.format(len(names),
+                                                      args.output_dir))
+    return 0
+
+
+if __name__ == '__main__':
+    raise SystemExit(main())

@@ -46,3 +46,35 @@ def get_average_model(checkpoint_names: List[str], save_name: str) -> None:
     out = payloads[0]
     out['state']['params'] = unflatten_dict(avg)
     _save_raw(out, save_name)
+
+
+def main(argv=None):
+    """CLI for the reference's hardcoded-path __main__ block
+    (util/model_operate.py:35-47): ``rename`` and ``average``."""
+    import argparse
+    import sys
+    ap = argparse.ArgumentParser(prog='python -m '
+                                      'fpl_plus_tpu.utils.model_operate')
+    sub = ap.add_subparsers(dest='cmd', required=True)
+    r = sub.add_parser('rename', help='rename params addressed as '
+                                      "'/'-joined paths")
+    r.add_argument('input_ckpt')
+    r.add_argument('output_ckpt')
+    r.add_argument('--from', dest='src', nargs='+', required=True)
+    r.add_argument('--to', dest='dst', nargs='+', required=True)
+    a = sub.add_parser('average', help='uniform N-way weight averaging')
+    a.add_argument('checkpoints', nargs='+')
+    a.add_argument('--output', required=True)
+    args = ap.parse_args(argv if argv is not None else sys.argv[1:])
+    if args.cmd == 'rename':
+        if len(args.src) != len(args.dst):
+            ap.error('--from and --to need the same length')
+        rename_model_variable(args.input_ckpt, args.output_ckpt,
+                              args.src, args.dst)
+    else:
+        get_average_model(args.checkpoints, args.output)
+    return 0
+
+
+if __name__ == '__main__':
+    raise SystemExit(main())

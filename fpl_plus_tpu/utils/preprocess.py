@@ -48,3 +48,28 @@ def preprocess_with_transform(transforms, img_in_name: str,
     if lab_in_name is not None and lab_out_name is not None:
         write_image(NiftiImage(np.asarray(sample['label'][0]), geom),
                     lab_out_name)
+
+
+def main(argv=None):
+    """CLI for the reference's hardcoded-path __main__ block
+    (util/preprocess.py:43-55): apply a cfg-defined transform chain to an
+    image (optionally with its label) and write the results."""
+    import argparse
+    import sys
+    ap = argparse.ArgumentParser(prog='python -m '
+                                      'fpl_plus_tpu.utils.preprocess')
+    ap.add_argument('transform_cfg', help='cfg with [dataset] transform = '
+                                          '[...] + flat transform params')
+    ap.add_argument('image_in')
+    ap.add_argument('image_out')
+    ap.add_argument('--label-in')
+    ap.add_argument('--label-out')
+    args = ap.parse_args(argv if argv is not None else sys.argv[1:])
+    transforms = get_transform_list(args.transform_cfg)
+    preprocess_with_transform(transforms, args.image_in, args.image_out,
+                              args.label_in, args.label_out)
+    return 0
+
+
+if __name__ == '__main__':
+    raise SystemExit(main())

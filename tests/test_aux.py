@@ -275,3 +275,71 @@ def test_spmd_cpu_cache_guard(monkeypatch):
     assert cc.get_executable_and_time('k', None, TpuBackend(), [0] * 8) \
         == (None, None)
     assert [c[0] for c in calls] == ['touched']
+
+
+def test_script_module_clis(tmp_path, fixture_dir):
+    """The reference ships its aux scripts as runnable entry points
+    (hardcoded-path __main__ blocks); ours are real argparse CLIs — drive
+    each through its main() exactly as ``python -m`` would."""
+    import numpy as np
+    from fpl_plus_tpu.engine.ckpt import load_checkpoint, save_checkpoint
+    from fpl_plus_tpu.io.image_io import (load_image_as_nd_array,
+                                          save_nd_array_as_image)
+
+    # fpl preprocess-bst subcommand (binarize+window+depth-crop)
+    from fpl_plus_tpu.fpl.__main__ import main as fpl_main
+    lab = np.zeros((12, 40, 48), np.int16)
+    lab[4:8, 10:20, 15:30] = 2   # multi-valued: must binarize
+    save_nd_array_as_image(lab, str(tmp_path / 'lab2.nii.gz'),
+                           str(fixture_dir / 'lab.nii.gz'))
+    assert fpl_main(['preprocess-bst', str(fixture_dir / 'img.nii.gz'),
+                     str(tmp_path / 'lab2.nii.gz'),
+                     str(tmp_path / 'bst_img.nii.gz'),
+                     str(tmp_path / 'bst_lab.nii.gz')]) == 0
+    out_lab = load_image_as_nd_array(
+        str(tmp_path / 'bst_lab.nii.gz'))['data_array']
+    assert set(np.unique(out_lab)) == {0, 1}
+    # depth-crop keeps label +/- margin (the 12-deep fixture fits within
+    # the margin, so the full depth survives)
+    assert out_lab.shape[1] <= 12
+
+    # make_noise CLI over a label directory
+    from fpl_plus_tpu.utils.make_noise import main as noise_main
+    lab_dir = tmp_path / 'labs'
+    lab_dir.mkdir()
+    save_nd_array_as_image(lab, str(lab_dir / 'a.nii.gz'),
+                           str(fixture_dir / 'lab.nii.gz'))
+    noisy_dir = tmp_path / 'noisy'
+    assert noise_main([str(lab_dir), str(noisy_dir), '--seed', '3']) == 0
+    noisy = load_image_as_nd_array(
+        str(noisy_dir / 'a.nii.gz'))['data_array']
+    assert noisy.shape == (1,) + lab.shape
+
+    # model_operate CLI: average + rename
+    from fpl_plus_tpu.utils.model_operate import main as mo_main, _load_raw
+    state = {'params': {'layer': {'kernel': np.ones((2, 2), np.float32)}},
+             'batch_stats': {}, 'opt_state': ()}
+    p1 = save_checkpoint(str(tmp_path), 'm', 1, state, 0.5)
+    state2 = {'params': {'layer': {'kernel': 3 * np.ones((2, 2),
+                                                         np.float32)}},
+              'batch_stats': {}, 'opt_state': ()}
+    p2 = save_checkpoint(str(tmp_path), 'm', 2, state2, 0.6)
+    avg = str(tmp_path / 'avg_cli.ckpt')
+    assert mo_main(['average', p1, p2, '--output', avg]) == 0
+    loaded = load_checkpoint(avg, state)
+    np.testing.assert_allclose(
+        loaded['state']['params']['layer']['kernel'], 2.0)
+    ren = str(tmp_path / 'ren_cli.ckpt')
+    assert mo_main(['rename', p1, ren, '--from', 'layer/kernel',
+                    '--to', 'layer/weight']) == 0
+    assert 'weight' in _load_raw(ren)['state']['params']['layer']
+
+    # offline-preprocess CLI
+    from fpl_plus_tpu.utils.preprocess import main as prep_main
+    cfg = tmp_path / 'trans.cfg'
+    cfg.write_text('[dataset]\ntransform = [NormalizeWithMeanStd]\n'
+                   'NormalizeWithMeanStd_channels = [0]\n')
+    out = str(tmp_path / 'prep_cli.nii.gz')
+    assert prep_main([str(cfg), str(fixture_dir / 'img.nii.gz'), out]) == 0
+    arr = load_image_as_nd_array(out)['data_array']
+    assert abs(float(arr.mean())) < 1e-4
