@@ -220,24 +220,40 @@ class SegmentationAgent(NetRunAgent):
         from jax.sharding import NamedSharding, PartitionSpec as P
         return NamedSharding(mesh, P(mesh.axis_names[0]))
 
-    def _batch_to_device(self, data: Dict) -> Dict:
-        sh = self._batch_sharding()
-        batch = {'image': to_channels_last(data['image'], sh),
-                 'label_prob': to_channels_last(data['label_prob'], sh)}
+    def _host_batch(self, data: Dict) -> Dict:
+        """Loader item -> channels-last numpy batch dict (host side)."""
+        batch = {'image': np.moveaxis(np.asarray(data['image']), 1, -1),
+                 'label_prob': np.moveaxis(np.asarray(data['label_prob']),
+                                           1, -1)}
         if data.get('image1', None) is not None:
-            batch['image1'] = to_channels_last(data['image1'], sh)
+            batch['image1'] = np.moveaxis(np.asarray(data['image1']), 1, -1)
         if self.fpl_uda and data.get('pixel_weight', None) is not None:
-            batch['pixel_weight'] = to_channels_last(data['pixel_weight'], sh)
+            batch['pixel_weight'] = np.moveaxis(
+                np.asarray(data['pixel_weight']), 1, -1)
             if data.get('image_weight', None) is not None:
-                w = np.asarray(data['image_weight'], np.float32)
-                if sh is not None and not sh.is_fully_addressable:
-                    batch['image_weight'] = \
-                        jax.make_array_from_process_local_data(sh, w)
-                elif sh is not None:
-                    batch['image_weight'] = jax.device_put(w, sh)
-                else:
-                    batch['image_weight'] = jnp.asarray(w)
+                batch['image_weight'] = np.asarray(data['image_weight'],
+                                                   np.float32)
         return batch
+
+    def _place_batch(self, batch: Dict, lead_axes: int = 0) -> Dict:
+        """Place a host batch dict on device(s). On a mesh the BATCH axis
+        shards (axis ``lead_axes`` — 1 when a grad-accum microbatch axis
+        leads, else 0); leading axes replicate."""
+        mesh = self.get_mesh()
+        if mesh is None:
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(
+            mesh, P(*([None] * lead_axes), mesh.axis_names[0]))
+        if not sh.is_fully_addressable:
+            # multi-host mesh: this process holds its local slice of the
+            # global batch (the loaders are manifest-sharded per host)
+            return {k: jax.make_array_from_process_local_data(sh, v)
+                    for k, v in batch.items()}
+        return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+    def _batch_to_device(self, data: Dict) -> Dict:
+        return self._place_batch(self._host_batch(data))
 
     # -- paradigm hooks (overridden by ssl/wsl/nll agents) ------------------
     def updates_per_iteration(self) -> int:
@@ -254,6 +270,13 @@ class SegmentationAgent(NetRunAgent):
         dual=True -> joint loss (training_all); otherwise per-domain
         alternating steps with the entropy regulariser."""
         opt_name = self.config['training'].get('optimizer', None)
+        accum = self.grad_accum_steps
+        if accum > 1 and (
+                self.config['training'].get('dual_consistency', False)
+                or self.config['training'].get('dis', False)):
+            raise ValueError(
+                'grad_accum_steps > 1 is only supported on the plain '
+                'joint supervised path (not dual_consistency / dis)')
         if self.config['training'].get('dual_consistency', False):
             from fpl_plus_tpu.engine.train import make_dual_consistency_step
             base = make_dual_consistency_step(
@@ -269,7 +292,7 @@ class SegmentationAgent(NetRunAgent):
                 else 0.0, compute_dtype=self.train_dtype,
                 optimizer_name=opt_name,
                 fused_domains=self.config['training'].get(
-                    'fused_domain_forward', True))
+                    'fused_domain_forward', True), accum_steps=accum)
         if not self.config['training'].get('dis', False):
             return base
         dis_step = self._build_dis_step()
@@ -343,8 +366,27 @@ class SegmentationAgent(NetRunAgent):
         return state.replace(extra={'dis_params': dis_params,
                                     'dis_opt': dis_opt.init(dis_params)})
 
+    @property
+    def grad_accum_steps(self) -> int:
+        """[training] grad_accum_steps: microbatches accumulated per
+        optimizer update (joint supervised path only). Lets recipes reach
+        large effective batches at the measured per-sample throughput
+        sweet spot (BASELINE.md 'Train-step batch scaling') instead of
+        paying XLA's recompute-for-memory penalty on one huge batch."""
+        return int(self.config['training'].get('grad_accum_steps', 1))
+
     def next_train_batches(self, train_iters):
-        return tuple(self._batch_to_device(next(it)) for it in train_iters)
+        accum = self.grad_accum_steps
+        if accum <= 1:
+            return tuple(self._batch_to_device(next(it))
+                         for it in train_iters)
+        out = []
+        for it in train_iters:
+            micros = [self._host_batch(next(it)) for _ in range(accum)]
+            stacked = {k: np.stack([m[k] for m in micros])
+                       for k in micros[0]}
+            out.append(self._place_batch(stacked, lead_axes=1))
+        return tuple(out)
 
     def training_hyper(self, glob_it: int):
         """Per-iteration traced hyperparameters (e.g. ramped consistency
@@ -356,6 +398,17 @@ class SegmentationAgent(NetRunAgent):
         return None
 
     def train_valid(self):
+        if (self.grad_accum_steps > 1
+                and type(self).build_train_step
+                is not SegmentationAgent.build_train_step):
+            # fail fast: the paradigm steps (SSL/WSL/NLL) cannot consume
+            # microbatch-stacked batches, and silently ignoring the key
+            # would change the user's effective batch semantics
+            raise ValueError(
+                'grad_accum_steps > 1 is only supported by the supervised '
+                'segmentation agent (the SSL/WSL/NLL paradigm steps have '
+                'no accumulation path); got agent {0}'.format(
+                    type(self).__name__))
         cfg_t = self.config['training']
         ckpt_dir = cfg_t['ckpt_save_dir']
         ckpt_prefix = ckpt_lib.ckpt_prefix_of(self.config)
@@ -442,7 +495,8 @@ class SegmentationAgent(NetRunAgent):
                     '{1}-device mesh'.format(bs, mesh.size))
             train_step = make_sharded_train_step(
                 train_step, mesh,
-                optimizer_name=cfg_t.get('optimizer', None))
+                optimizer_name=cfg_t.get('optimizer', None),
+                batch_axis=1 if self.grad_accum_steps > 1 else 0)
             state = replicate(state, mesh)
             logging.info('data-parallel training over a %d-device mesh',
                          mesh.size)

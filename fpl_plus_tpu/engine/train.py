@@ -110,7 +110,7 @@ def make_train_step(apply_fn: Callable, loss_calculator: Callable,
                     optimizer, num_domains: int = 1, joint: bool = True,
                     fpl_uda: bool = False, entropy_coeff: float = 0.0,
                     compute_dtype=None, optimizer_name=None,
-                    fused_domains: bool = True):
+                    fused_domains: bool = True, accum_steps: int = 1):
     """Build the jitted per-iteration step.
 
     ``batches`` is a tuple of per-domain batch dicts (length num_domains),
@@ -131,7 +131,18 @@ def make_train_step(apply_fn: Callable, loss_calculator: Callable,
     result bit-for-bit up to conv-batching reduction order. Requires equal
     per-domain batch shapes (the dual-training contract); disable with
     ``[training] fused_domain_forward = False``.
+
+    ``accum_steps > 1`` (joint path only): gradient accumulation — batches
+    arrive with a leading ``[accum_steps]`` microbatch axis, one
+    ``lax.scan`` accumulates the mean gradient over the axis and the
+    optimizer applies ONE update per iteration (``[training]
+    grad_accum_steps``). See ``step_joint_accum``.
     """
+    if accum_steps > 1 and not joint:
+        raise ValueError(
+            'grad_accum_steps > 1 requires the joint (dual=True) training '
+            'path; the per-domain alternating variant steps the optimizer '
+            'per domain and has no accumulation semantics')
     from fpl_plus_tpu.utils.precision import cast_apply_fn
     apply_fn = cast_apply_fn(apply_fn, compute_dtype)
 
@@ -166,22 +177,31 @@ def make_train_step(apply_fn: Callable, loss_calculator: Callable,
             l.ndim >= 2 and l.shape[0] == num_domains
             for l in jax.tree_util.tree_leaves(batch_stats))
 
-    def step_joint_fused(state: TrainState, batches, rng):
-        if not _fused_merge_valid(state.batch_stats):
+    def _joint_loss(params, batch_stats, batches, rng):
+        """Shared joint-loss body: (loss, (logits_all, new_batch_stats)).
+
+        Picks the fused vmapped forward when requested and the stats layout
+        supports the exact diagonal merge (shapes are static, so the choice
+        resolves at trace time); falls back to the sequential two-apply
+        path otherwise."""
+        use_fused = fused_domains and num_domains > 1
+        if use_fused and not _fused_merge_valid(batch_stats):
             logging.warning(
                 'fused_domain_forward disabled: a batch_stats leaf is not '
                 'a per-domain [num_domains, C] bank (shared-stat layers '
                 'need the sequential per-domain update); using the '
                 'sequential joint step')
-            return step_joint(state, batches, rng)
+            use_fused = False
         rngs = jax.random.split(rng, num_domains)
-
-        def loss_fn(params):
-            outs, new_bs = _fused_forward(params, state.batch_stats,
-                                          batches, rngs)
-            total = 0.0
-            logits_all = []
-            for d in range(num_domains):
+        total = 0.0
+        logits_all = []
+        if use_fused:
+            outs, new_bs = _fused_forward(params, batch_stats, batches,
+                                          rngs)
+        else:
+            bs = batch_stats
+        for d in range(num_domains):
+            if use_fused:
                 out_d = jax.tree_util.tree_map(lambda a, d=d: a[d], outs)
                 primary = out_d[0] if isinstance(out_d, (tuple, list)) \
                     else out_d
@@ -193,14 +213,22 @@ def make_train_step(apply_fn: Callable, loss_calculator: Callable,
                         loss_input['image_weight'] = \
                             batches[d]['image_weight']
                 loss_d = loss_calculator(loss_input)
-                if entropy_coeff:
-                    loss_d = loss_d + entropy_coeff * entropy_log2(primary)
-                total = total + loss_d
-                logits_all.append(primary)
-            return total / num_domains, (logits_all, new_bs)
+            else:
+                loss_d, (primary, bs) = _domain_loss(
+                    apply_fn, params, bs, batches[d], jnp.int32(d), rngs[d],
+                    loss_calculator, fpl_uda)
+            if entropy_coeff:
+                loss_d = loss_d + entropy_coeff * entropy_log2(primary)
+            total = total + loss_d
+            logits_all.append(primary)
+        if not use_fused:
+            new_bs = bs
+        return total / num_domains, (logits_all, new_bs)
 
+    def step_joint(state: TrainState, batches, rng):
         (loss, (logits_all, new_bs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+            _joint_loss, has_aux=True)(state.params, state.batch_stats,
+                                       batches, rng)
         updates, new_opt = optimizer.update(grads, state.opt_state,
                                             state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -212,32 +240,46 @@ def make_train_step(apply_fn: Callable, loss_calculator: Callable,
                                   batch_stats=new_bs, opt_state=new_opt)
         return new_state, metrics
 
-    def step_joint(state: TrainState, batches, rng):
-        rngs = jax.random.split(rng, num_domains)
+    def step_joint_accum(state: TrainState, batches, rng):
+        """Gradient accumulation: every leaf of ``batches`` carries a
+        leading ``[accum_steps]`` microbatch axis. One ``lax.scan`` runs
+        the joint forward/backward per microbatch — all microbatches
+        differentiate the SAME ``state.params`` (textbook accumulation,
+        not sequential stepping) — gradients/loss/dice average over the
+        axis, batch stats thread sequentially (each microbatch's EMA
+        update sees the previous one's stats, exactly like running
+        ``accum_steps`` reference iterations at the micro batch size),
+        and the optimizer applies ONE update. Lets recipes reach large
+        effective batches at the measured per-sample throughput sweet
+        spot instead of paying XLA's recompute-for-memory penalty past
+        it (BASELINE.md 'Train-step batch scaling')."""
+        rngs = jax.random.split(rng, accum_steps)
+        k = batches[0]['label_prob'].shape[-1]
 
-        def loss_fn(params):
-            bs = state.batch_stats
-            total = 0.0
-            logits_all = []
-            for d in range(num_domains):
-                loss_d, (logits, bs) = _domain_loss(
-                    apply_fn, params, bs, batches[d], jnp.int32(d), rngs[d],
-                    loss_calculator, fpl_uda)
-                if entropy_coeff:
-                    loss_d = loss_d + entropy_coeff * entropy_log2(logits)
-                total = total + loss_d
-                logits_all.append(logits)
-            return total / num_domains, (logits_all, bs)
+        def body(carry, xs):
+            bstats, grad_sum, loss_sum, dice_sum = carry
+            micro, r = xs
+            (loss, (logits_all, new_bs)), grads = jax.value_and_grad(
+                _joint_loss, has_aux=True)(state.params, bstats, micro, r)
+            grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, grads)
+            dice = jnp.stack([
+                train_dice(logits_all[d], micro[d]['label_prob'])
+                for d in range(num_domains)])
+            return (new_bs, grad_sum, loss_sum + loss, dice_sum + dice), None
 
-        (loss, (logits_all, new_bs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        carry0 = (state.batch_stats, zero_g, jnp.float32(0.0),
+                  jnp.zeros((num_domains, k), jnp.float32))
+        (new_bs, grad_sum, loss_sum, dice_sum), _ = jax.lax.scan(
+            body, carry0, (batches, rngs))
+        inv = 1.0 / accum_steps
+        grads = jax.tree_util.tree_map(lambda g: g * inv, grad_sum)
         updates, new_opt = optimizer.update(grads, state.opt_state,
                                             state.params)
         new_params = optax.apply_updates(state.params, updates)
-        metrics = {'loss': loss}
+        metrics = {'loss': loss_sum * inv}
         for d in range(num_domains):
-            metrics['class_dice_{0}'.format(d)] = train_dice(
-                logits_all[d], batches[d]['label_prob'])
+            metrics['class_dice_{0}'.format(d)] = dice_sum[d] * inv
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   batch_stats=new_bs, opt_state=new_opt)
         return new_state, metrics
@@ -269,8 +311,7 @@ def make_train_step(apply_fn: Callable, loss_calculator: Callable,
         return state, metrics
 
     if joint:
-        step = step_joint_fused if (fused_domains and num_domains > 1) \
-            else step_joint
+        step = step_joint_accum if accum_steps > 1 else step_joint
     else:
         step = step_alternating
     return jit_train_step(step, optimizer_name)

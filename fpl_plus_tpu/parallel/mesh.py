@@ -105,7 +105,8 @@ def shard_batch(tree, mesh: Mesh, axis: str = 'data'):
 
 def make_sharded_train_step(train_step: Callable, mesh: Mesh,
                             axis: str = 'data',
-                            optimizer_name=None) -> Callable:
+                            optimizer_name=None,
+                            batch_axis: int = 0) -> Callable:
     """Wrap a train step with state-replicated / batch-sharded constraints.
 
     Any extra positional arguments after ``(state, batches, rng)`` (e.g. the
@@ -114,9 +115,13 @@ def make_sharded_train_step(train_step: Callable, mesh: Mesh,
     ``replicate``/``shard_batch`` (ideally from a prefetch thread) overlaps
     the H2D transfer with compute. jit propagates the SPMD partitioning and
     inserts the gradient ``psum`` over ICI because the loss is a mean over
-    the sharded batch axis."""
+    the sharded batch axis.
+
+    ``batch_axis``: position of the batch axis in the batch leaves — 1
+    when a grad-accum microbatch axis leads (the scan axis must stay
+    replicated; sharding it would split the sequential scan), else 0."""
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P(axis))
+    data = NamedSharding(mesh, P(*([None] * batch_axis), axis))
 
     def sharded(state, batches, rng, *extra):
         state = jax.lax.with_sharding_constraint(state, repl)

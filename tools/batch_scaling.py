@@ -12,7 +12,12 @@ production recipes know what batch scaling buys on real hardware
 One JSON line per measurement (flushed immediately — a long tunnel
 compile never hides earlier numbers).
 
-Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/batch_scaling.py [B ...]
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/batch_scaling.py [B|BxA ...]
+
+``BxA`` runs batch B/domain with grad_accum_steps=A (one scan-accumulated
+optimizer update over A microbatches) — measures whether accumulation
+reaches effective batch B*A at the per-sample throughput of batch B,
+dodging XLA's recompute-for-memory penalty on one huge batch.
 """
 import json
 import os
@@ -38,7 +43,14 @@ def emit(**kw):
 
 
 def main():
-    batch_sizes = [int(b) for b in sys.argv[1:]] or [4, 8, 16]
+    def parse_spec(tok):
+        if 'x' in tok:
+            b, a = tok.split('x')
+            return int(b), int(a)
+        return int(tok), 1
+
+    batch_sizes = [parse_spec(t) for t in sys.argv[1:]] or \
+        [(4, 1), (8, 1), (16, 1)]
     import jax
     import jax.numpy as jnp
     from fpl_plus_tpu.utils.jaxcache import harden_compilation_cache
@@ -57,7 +69,7 @@ def main():
          backend=jax.default_backend())
     rs = np.random.RandomState(0)
 
-    for b in batch_sizes:
+    for b, accum in batch_sizes:
         def batch(b=b):
             x = rs.normal(size=(b, 28, 128, 128, 1)).astype(np.float32)
             y = (x[..., 0] > 0.5).astype(np.int32)
@@ -78,8 +90,15 @@ def main():
         step = make_train_step(
             module.apply, SegLossDict['DiceLoss']({}), optimizer,
             num_domains=2, joint=True, fpl_uda=True,
-            compute_dtype=resolve_dtype('bfloat16'), fused_domains=True)
-        batches = (batch(), batch())
+            compute_dtype=resolve_dtype('bfloat16'), fused_domains=True,
+            accum_steps=accum)
+        if accum > 1:
+            micros = [(batch(), batch()) for _ in range(accum)]
+            batches = tuple(
+                {k: jnp.stack([m[d][k] for m in micros])
+                 for k in micros[0][d]} for d in range(2))
+        else:
+            batches = (batch(), batch())
         rng = jax.random.PRNGKey(0)
         try:
             flops = float('nan')
@@ -107,8 +126,9 @@ def main():
                 times.append((time.time() - t0) / n_rep)
             sec = float(np.median(times))
             mfu = (flops / sec) / (PEAK_TFLOPS * 1e12)
-            emit(batch_per_domain=b, sec_per_step=round(sec, 4),
-                 samples_per_s=round(2 * b / sec, 2),
+            emit(batch_per_domain=b, accum_steps=accum,
+                 sec_per_step=round(sec, 4),
+                 samples_per_s=round(2 * b * accum / sec, 2),
                  tflops=round(flops / 1e12, 2),
                  achieved_tflops=round(flops / sec / 1e12, 1),
                  mfu_pct=round(100 * mfu, 1),
