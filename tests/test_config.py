@@ -5,6 +5,8 @@ import pytest
 from fpl_plus_tpu.config.parser import (parse_config, parse_value_from_string,
                                         synchronize_config)
 
+pytestmark = pytest.mark.smoke
+
 REF_CFG = '/root/reference/config_dual/data_vs/vs_t1s_g.cfg'
 
 

@@ -124,6 +124,7 @@ valid_evaluation_image_pair = {root}/pairs.csv
     return str(path)
 
 
+@pytest.mark.smoke
 def test_cli_train_test_eval(e2e_workspace):
     from fpl_plus_tpu.cli import main
     cfg_file = _write_cfg(e2e_workspace)

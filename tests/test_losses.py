@@ -17,6 +17,8 @@ from fpl_plus_tpu.losses import SegLossDict, create_loss_calculator
 from fpl_plus_tpu.losses.seg import (DiceLoss, DiceLossWeight,
                                      TotalVariationLoss)
 
+pytestmark = pytest.mark.smoke
+
 REF = '/root/reference/PyMIC'
 HAS_REF = os.path.isdir(REF)
 

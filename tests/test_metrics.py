@@ -13,6 +13,8 @@ from fpl_plus_tpu.metrics.seg_metrics import (binary_assd, binary_dice,
 from fpl_plus_tpu.native import (_raster_scan_numpy, connected_components,
                                  raster_scan_distance)
 
+pytestmark = pytest.mark.smoke
+
 
 def test_dice_iou_rve_exact():
     s = np.zeros((4, 4, 4), np.uint8)

@@ -8,6 +8,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 REF = '/root/reference/PyMIC'
 HAS_REF = os.path.isdir(REF)
 CFG_DIR = '/root/reference/config_dual/data_vs'

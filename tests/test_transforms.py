@@ -5,6 +5,8 @@ import pytest
 
 from fpl_plus_tpu.transforms.trans_dict import TransformDict, build_transforms
 
+pytestmark = pytest.mark.smoke
+
 
 def make_params(**kw):
     params = {'task': 'segmentation'}
