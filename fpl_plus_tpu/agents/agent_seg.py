@@ -373,7 +373,11 @@ class SegmentationAgent(NetRunAgent):
         large effective batches at the measured per-sample throughput
         sweet spot (BASELINE.md 'Train-step batch scaling') instead of
         paying XLA's recompute-for-memory penalty on one huge batch."""
-        return int(self.config['training'].get('grad_accum_steps', 1))
+        accum = int(self.config['training'].get('grad_accum_steps', 1))
+        if accum < 1:
+            raise ValueError(
+                '[training] grad_accum_steps must be >= 1, got %d' % accum)
+        return accum
 
     def next_train_batches(self, train_iters):
         accum = self.grad_accum_steps
@@ -383,6 +387,19 @@ class SegmentationAgent(NetRunAgent):
         out = []
         for it in train_iters:
             micros = [self._host_batch(next(it)) for _ in range(accum)]
+            keys = set(micros[0])
+            for i, m in enumerate(micros[1:], 1):
+                if set(m) != keys:
+                    # optional keys (pixel_weight/image_weight/image1) must
+                    # be present in every microbatch or none: a mixed
+                    # manifest would otherwise KeyError mid-training or
+                    # silently drop a weighting term
+                    raise ValueError(
+                        'grad-accum microbatch %d has keys %s but '
+                        'microbatch 0 has %s — all accum microbatches must '
+                        'share an identical key set (check that every '
+                        'manifest row carries the same optional columns)'
+                        % (i, sorted(m), sorted(keys)))
             stacked = {k: np.stack([m[k] for m in micros])
                        for k in micros[0]}
             out.append(self._place_batch(stacked, lead_axes=1))

@@ -3,8 +3,9 @@
 Parity with the reference NLL package (PyMIC/pymic/net_run_nll/):
 CoTeaching (nll_co_teaching.py), TriNet (nll_trinet.py), DAST
 (nll_dast.py); registry = NLLMethodDict (nll_main.py:12-14). The CLSLSR
-confidence-map script (nll_clslsr.py) is provided as
-``get_confident_map`` + the SLSRLoss training flow.
+confidence-map DRIVER (nll_clslsr.py) lives in ``agents/nll_clslsr.py``
+(NLLCLSLSR agent + run_get_confidence_map + the first-party
+confident-learning kernel); SLSRLoss retraining consumes its manifests.
 
 TPU notes: the reference's small-loss selection slices a dynamic number of
 voxels (``ind_sorted[:num_remb]``) — here selection is a *mask* built by
@@ -355,12 +356,12 @@ class NLLDAST(SegmentationAgent):
 
 
 def get_confident_map(labels_prob, pred_logits, ratio: float = 0.3):
-    """CLSLSR confidence estimation (reference nll_clslsr.py): voxels whose
-    CE loss is in the top ``ratio`` quantile are marked unconfident (mask 1),
-    to be smoothed by SLSRLoss via the pixel_weight channel."""
-    ce = _voxel_ce(jnp.asarray(pred_logits), jnp.asarray(labels_prob))
-    threshold = jnp.quantile(ce, 1.0 - ratio)
-    return (ce >= threshold).astype(jnp.float32)
+    """CE-quantile confidence fallback — superseded by the reference-parity
+    confident-learning driver in ``agents/nll_clslsr.py`` (kept under this
+    name for backward compatibility; see get_confident_map_quantile
+    there)."""
+    from fpl_plus_tpu.agents.nll_clslsr import get_confident_map_quantile
+    return get_confident_map_quantile(labels_prob, pred_logits, ratio)
 
 
 NLLMethodDict = {

@@ -209,6 +209,41 @@ def main_nll(argv=None):
                           reg, 'fpl-nll train config.cfg')
 
 
+def main_nll_clslsr(argv=None):
+    """The CLSLSR confidence-map driver (reference
+    net_run_nll/nll_clslsr.py:149-205, ``python nll_clslsr.py cfg``):
+    inference over the train manifest with the checkpointed model,
+    confident-learning noise masks written as ``<root_dir>/slsr_conf/``
+    weight maps, and the ``<train_csv>_clslsr.csv`` retrain manifest for
+    SLSRLoss. Usage: ``fpl_nll_clslsr config.cfg``."""
+    argv = argv if argv is not None else sys.argv[1:]
+    if len(argv) < 1:
+        print('Number of arguments should be 2. e.g.\n'
+              '   fpl_nll_clslsr config.cfg')
+        return 1
+    cfg_file = argv[-1]   # accept an optional leading stage token
+    if not os.path.isfile(cfg_file):
+        raise ValueError('The config file does not exist: {0}'.format(
+            cfg_file))
+    config = parse_config(cfg_file)
+    config = synchronize_config(config)
+    from fpl_plus_tpu.parallel.multihost import maybe_initialize_distributed
+    _respect_platform_env()
+    maybe_initialize_distributed(config)
+    _enable_compilation_cache()
+    from fpl_plus_tpu.utils.precision import apply_matmul_precision
+    apply_matmul_precision(config, 'test')
+    log_dir = config['training']['ckpt_save_dir']
+    os.makedirs(log_dir, exist_ok=True)
+    _setup_logging('{0}/log_clslsr.txt'.format(log_dir))
+    logging_config(config)
+    from fpl_plus_tpu.agents.nll_clslsr import run_get_confidence_map
+    run_get_confidence_map(config)
+    from fpl_plus_tpu.parallel.multihost import finalize_distributed
+    finalize_distributed()
+    return 0
+
+
 def main_eval_seg(argv=None):
     """pymic_eval_seg-compatible CLI (evaluation only)."""
     argv = argv if argv is not None else sys.argv[1:]

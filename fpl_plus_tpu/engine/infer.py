@@ -20,8 +20,11 @@ shape:
 * overlap accumulation is a ``lax.scan`` over start chunks with
   read-add-write ``dynamic_update_slice`` — deterministic ordering; nets
   with multi-scale output lists accumulate every head at its own scaled
-  grid (each scale keeps its own exact counter, rather than the reference's
-  interpolated full-res counter — identical when stride >= window);
+  grid. Each scale keeps its own exact counter by default;
+  ``[testing] multiscale_counter = reference`` restores the reference's
+  n_heads-scaled, nearest-interpolated full-res counter division
+  (``_overlap_divide``) — the two agree up to a global logit scale when
+  stride >= window and differ near scaled-box edges otherwise;
 * the model parameters / domain label / dropout rng travel as the TRACED
   ``ctx`` pytree, so checkpoint swaps, domain switches and MC-dropout rng
   changes never trigger recompilation — only a new volume shape does.
@@ -364,6 +367,41 @@ def _fpl_uncertainty_reduce(out, lo, up):
     return vars_sum, boundary
 
 
+def _nearest_spatial_resize(x: jnp.ndarray, target: Tuple[int, ...]):
+    """Nearest-neighbour resize of the spatial dims of ``x``
+    [lead, *spatial, 1] to ``target`` — torch ``F.interpolate`` nearest
+    semantics (src index = floor(dst * in / out)), used to reproduce the
+    reference's interpolated-counter division (infer_func.py:137-139)."""
+    spatial = x.shape[1:-1]
+    for d, (s_in, s_out) in enumerate(zip(spatial, target)):
+        if s_in == s_out:
+            continue
+        idx = (jnp.arange(s_out) * s_in) // s_out
+        x = jnp.take(x, idx, axis=1 + d)
+    return x
+
+
+def _overlap_divide(o, c, c0, n_heads: int, counter_mode: str):
+    """Overlap-average one head: divide its accumulated sum ``o`` by a
+    counter. ``counter_mode='exact'`` (default) uses the head's OWN
+    per-scale coverage counter ``c`` — every voxel is the true mean of the
+    windows covering it. ``'reference'`` reproduces the reference stack's
+    multi-head semantics (infer_func.py:113-140): every head divides by the
+    FULL-resolution counter ``c0`` nearest-interpolated to the head's grid,
+    and — because the reference increments that counter once per head per
+    patch — scaled by ``n_heads``. The two agree (up to the global 1/n_heads
+    logit scale) when stride >= window; with overlapping windows they
+    differ near scaled-box boundaries. Single-head programs are identical
+    in both modes (the reference single-output path uses the exact
+    counter)."""
+    if counter_mode == 'reference' and n_heads > 1:
+        cc = c0 if c0.ndim == o.ndim else c0[None]
+        cc = _nearest_spatial_resize(cc, o.shape[1:-1])
+        return o / jnp.maximum(float(n_heads) * cc, 1e-6)
+    cc = c if c.ndim == o.ndim else c[None]
+    return o / jnp.maximum(cc, 1e-6)
+
+
 def _finalize(out, output_mode: str):
     """Device-side head: 'logits' (parity default), 'prob' (softmax) or
     'label' (argmax uint8 — 8-16x less device->host traffic, the production
@@ -377,14 +415,16 @@ def _finalize(out, output_mode: str):
 
 @partial(jax.jit, static_argnames=('predictor', 'window', 'chunk', 'tta',
                                    'output_mode', 'unroll_accum',
-                                   'static_starts', 'static_weights'))
+                                   'static_starts', 'static_weights',
+                                   'counter_mode'))
 def _sliding_window_full(predictor, ctx, vol: jnp.ndarray,
                          starts: jnp.ndarray, weights: jnp.ndarray,
                          window: Tuple[int, ...],
                          chunk: int, tta: bool, output_mode: str = 'logits',
                          pads: Optional[jnp.ndarray] = None,
                          unroll_accum: bool = False,
-                         static_starts=None, static_weights=None):
+                         static_starts=None, static_weights=None,
+                         counter_mode: str = 'exact'):
     """One-dispatch program per volume: flip variants, sliding-window
     accumulation, overlap division, TTA un-flip averaging and the output
     head all fused — a single host round-trip matters on high-latency
@@ -397,18 +437,20 @@ def _sliding_window_full(predictor, ctx, vol: jnp.ndarray,
                                      unroll_accum, None,
                                      static_starts, static_weights)
     return [_finalize(_unflip_mean(
-        o / jnp.maximum(c if c.ndim == o.ndim else c[None], 1e-6), tta),
+        _overlap_divide(o, c, cnts[0], len(outs), counter_mode), tta),
         output_mode) for o, c in zip(outs, cnts)]
 
 
 @partial(jax.jit, static_argnames=('predictor', 'window', 'chunk', 'tta',
-                                   'output_mode', 'unroll_accum'))
+                                   'output_mode', 'unroll_accum',
+                                   'counter_mode'))
 def _sliding_window_full_batch(predictor, ctx, vols: jnp.ndarray,
                                starts: jnp.ndarray, weights: jnp.ndarray,
                                window: Tuple[int, ...], chunk: int,
                                tta: bool, output_mode: str,
                                pads: Optional[jnp.ndarray] = None,
-                               unroll_accum: bool = False):
+                               unroll_accum: bool = False,
+                               counter_mode: str = 'exact'):
     """Batched serving: N same-shape volumes [N, *img, C] in ONE program
     dispatch — the TTA variants of every volume stack into a single
     leading axis (v_num = N x V), so the per-dispatch/link latency that
@@ -423,7 +465,7 @@ def _sliding_window_full_batch(predictor, ctx, vols: jnp.ndarray,
                                      unroll_accum, tta_v=v)
     results = []
     for o, c in zip(outs, cnts):
-        o = o / jnp.maximum(c if c.ndim == o.ndim else c[None], 1e-6)
+        o = _overlap_divide(o, c, cnts[0], len(outs), counter_mode)
         grouped = o.reshape((n, v) + o.shape[1:])
         merged = jnp.stack([_unflip_mean(grouped[i], tta)
                             for i in range(n)])
@@ -432,13 +474,15 @@ def _sliding_window_full_batch(predictor, ctx, vols: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=('predictor', 'window', 'chunk', 'tta',
-                                   'output_mode', 'mesh', 'unroll_accum'))
+                                   'output_mode', 'mesh', 'unroll_accum',
+                                   'counter_mode'))
 def _sliding_window_full_sharded(predictor, ctx, vol: jnp.ndarray,
                                  starts: jnp.ndarray, weights: jnp.ndarray,
                                  window: Tuple[int, ...], chunk: int,
                                  tta: bool, output_mode: str, mesh,
                                  pads: Optional[jnp.ndarray] = None,
-                                 unroll_accum: bool = False):
+                                 unroll_accum: bool = False,
+                                 counter_mode: str = 'exact'):
     """Multi-device variant of ``_sliding_window_full``: the patch-start
     grid is sharded across the mesh with ``shard_map`` (spatial parallelism,
     SURVEY.md section 5.7) — every device accumulates its windows into a
@@ -468,7 +512,7 @@ def _sliding_window_full_sharded(predictor, ctx, vol: jnp.ndarray,
                    out_specs=(P(), P()))
     outs, cnts = fn(ctx, variants, starts, weights, pads)
     return [_finalize(_unflip_mean(
-        o / jnp.maximum(c if c.ndim == o.ndim else c[None], 1e-6), tta),
+        _overlap_divide(o, c, cnts[0], len(outs), counter_mode), tta),
         output_mode) for o, c in zip(outs, cnts)]
 
 
@@ -583,6 +627,15 @@ class Inferer:
         # stay f32 (see _sliding_window_jit)
         from fpl_plus_tpu.utils.precision import resolve_dtype
         self.compute_dtype = resolve_dtype(config.get('precision', 'float32'))
+        # multi-head overlap averaging: 'exact' (per-scale coverage
+        # counters, this framework's default) or 'reference' (the reference
+        # stack's n_heads-scaled full-res counter, nearest-interpolated per
+        # head — infer_func.py:113-140). See _overlap_divide; identical for
+        # single-head nets and when stride >= window.
+        self.counter_mode = config.get('multiscale_counter', 'exact')
+        if self.counter_mode not in ('exact', 'reference'):
+            raise ValueError('Undefined multiscale_counter {0}'.format(
+                self.counter_mode))
 
     def _resolve_sw(self, img_shape):
         """(use_sw, window, stride) with the reference clamps: window caps
@@ -790,7 +843,7 @@ class Inferer:
                     jax.device_put(jnp.asarray(starts), grid),
                     jax.device_put(jnp.asarray(weights), grid),
                     tuple(window), chunk, tta, device_mode, self.mesh,
-                    pads_arr, unroll)
+                    pads_arr, unroll, self.counter_mode)
             else:
                 pads_arr = None if pads is None else jnp.asarray(
                     pads, jnp.int32)
@@ -810,7 +863,8 @@ class Inferer:
                                             jnp.asarray(weights),
                                             tuple(window), chunk, tta,
                                             device_mode, pads_arr,
-                                            unroll, st_s, st_w)
+                                            unroll, st_s, st_w,
+                                            self.counter_mode)
             if pads is not None and any(pads):
                 outs = self._crop_margins(outs, img_shape, true_shape, 0)
         return self._finish_outputs(outs, batched=False)
@@ -926,7 +980,7 @@ class Inferer:
         outs = _sliding_window_full_batch(
             predictor, ctx, vols, jnp.asarray(starts),
             jnp.asarray(weights), tuple(window), chunk, tta, device_mode,
-            pads_arr, unroll)
+            pads_arr, unroll, self.counter_mode)
         if pads is not None and any(pads):
             outs = self._crop_margins(outs, vols.shape[1:-1],
                                       tuple(img_shape), 1)

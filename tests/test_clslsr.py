@@ -1,0 +1,257 @@
+"""CLSLSR confidence-map driver tests.
+
+Covers the first-party confident-learning kernel (hand-computed confident
+joint, calibration, pruning rules, synthetic flipped-label recovery) and
+the CHAINED pipeline (mirroring test_fpl_pipeline.py for the NLL
+paradigm): noisy-label train -> fpl_nll_clslsr confidence maps +
+``_clslsr.csv`` manifest -> SLSRLoss retrain consuming them. Reference:
+/root/reference/PyMIC/pymic/net_run_nll/nll_clslsr.py:19-205."""
+import os
+
+import numpy as np
+import pytest
+
+from fpl_plus_tpu.agents.nll_clslsr import (calibrate_confident_joint,
+                                            compute_confident_joint,
+                                            get_confident_map,
+                                            get_noise_mask)
+from fpl_plus_tpu.io.nifti import ImageGeometry, NiftiImage, write_nifti
+
+
+def test_confident_joint_hand_example():
+    """6-example, 2-class case worked by hand (thresholds t0=0.7, t1=0.6)."""
+    labels = np.array([0, 0, 0, 1, 1, 1])
+    probs = np.array([[0.9, 0.1],
+                      [0.8, 0.2],
+                      [0.4, 0.6],     # labeled 0, confidently class 1
+                      [0.2, 0.8],
+                      [0.3, 0.7],
+                      [0.7, 0.3]])    # labeled 1, confidently class 0
+    cj = compute_confident_joint(labels, probs)
+    np.testing.assert_array_equal(cj, [[2, 1], [1, 2]])
+    cal = calibrate_confident_joint(cj, labels)
+    np.testing.assert_array_equal(cal, cj)   # row sums already match counts
+
+    for method in ('prune_by_class', 'prune_by_noise_rate', 'both'):
+        mask = get_noise_mask(labels, probs, method)
+        np.testing.assert_array_equal(
+            mask, [False, False, True, False, False, True]), method
+
+
+def test_calibration_rescales_rows():
+    labels = np.array([0] * 8 + [1] * 4)
+    # only half of each class confidently counted
+    cj = np.array([[3, 1], [1, 1]])
+    cal = calibrate_confident_joint(cj, labels)
+    assert cal.sum(axis=1).tolist() == [8, 4]
+    np.testing.assert_array_equal(cal, [[6, 2], [2, 2]])
+
+
+def test_noise_mask_recovers_flipped_labels(rng):
+    """A well-calibrated model + 10% flipped labels: the CL mask should
+    recover the flips with high precision and recall."""
+    n, k = 4000, 2
+    true = (rng.uniform(size=n) > 0.5).astype(np.int64)
+    # model probabilities concentrated on the TRUE class
+    p_true = rng.uniform(0.7, 0.99, size=n)
+    probs = np.zeros((n, k))
+    probs[np.arange(n), true] = p_true
+    probs[np.arange(n), 1 - true] = 1 - p_true
+    flipped = rng.uniform(size=n) < 0.1
+    noisy = np.where(flipped, 1 - true, true)
+
+    mask = get_noise_mask(noisy, probs, 'both')
+    tp = np.sum(mask & flipped)
+    precision = tp / max(mask.sum(), 1)
+    recall = tp / max(flipped.sum(), 1)
+    assert precision > 0.85, precision
+    assert recall > 0.85, recall
+
+
+def test_get_confident_map_cl_types(rng):
+    n, k = 500, 3
+    gt = rng.randint(0, k, size=n)
+    logits = rng.normal(size=(n, k)).astype(np.float32)
+    logits[np.arange(n), gt] += 2.0
+    masks = {t: get_confident_map(gt, logits, t)
+             for t in ('both', 'Qij', 'Cij', 'intersection', 'union',
+                       'prune_by_class', 'prune_by_noise_rate')}
+    for t, m in masks.items():
+        assert m.shape == (n,) and m.dtype == bool, t
+    np.testing.assert_array_equal(masks['both'], masks['Qij'])
+    # intersection <= each component <= union
+    assert np.all(masks['intersection'] <= masks['Qij'])
+    assert np.all(masks['intersection'] <= masks['Cij'])
+    assert np.all(masks['Qij'] <= masks['union'])
+    assert np.all(masks['Cij'] <= masks['union'])
+    # 'both' is the intersection of the two pruning rules
+    np.testing.assert_array_equal(
+        masks['both'],
+        masks['prune_by_class'] & masks['prune_by_noise_rate'])
+    with pytest.raises(ValueError):
+        get_confident_map(gt, logits, 'bogus')
+
+
+# -- chained NLL pipeline ----------------------------------------------------
+
+@pytest.fixture(scope='module')
+def nll_root(tmp_path_factory):
+    """Fixture dataset with KNOWN label noise: a corner block of each
+    training label is flipped to foreground."""
+    root = tmp_path_factory.mktemp('clslsr')
+    rs = np.random.RandomState(11)
+    geom = ImageGeometry(origin=(0., 0., 0.), spacing=(1., 1., 1.),
+                         direction=(1, 0, 0, 0, 1, 0, 0, 0, 1))
+    os.makedirs(root / 'img'), os.makedirs(root / 'lab')
+    os.makedirs(root / 'lab_clean')
+    for c in range(3):
+        vol = rs.normal(0, 1, size=(8, 16, 16)).astype(np.float32)
+        lab = np.zeros((8, 16, 16), np.int16)
+        lab[2:6, 4:12, 4:12] = 1
+        vol[2:6, 4:12, 4:12] += 3.0
+        write_nifti(NiftiImage(vol, geom),
+                    str(root / 'img' / 'case{0}.nii.gz'.format(c)))
+        write_nifti(NiftiImage(lab, geom),
+                    str(root / 'lab_clean' / 'case{0}.nii.gz'.format(c)))
+        noisy = lab.copy()
+        noisy[0:3, 0:5, 0:5] = 1          # label noise: background -> fg
+        write_nifti(NiftiImage(noisy, geom),
+                    str(root / 'lab' / 'case{0}.nii.gz'.format(c)))
+    for name, cases, lab_dir in (('train.csv', [0, 1, 2], 'lab'),
+                                 ('valid.csv', [0], 'lab_clean')):
+        with open(root / name, 'w') as f:
+            f.write('image,label\n')
+            for c in cases:
+                f.write('img/case{0}.nii.gz,{1}/case{0}.nii.gz\n'
+                        .format(c, lab_dir))
+    with open(root / 'test.csv', 'w') as f:
+        f.write('image\nimg/case2.nii.gz\n')
+    return root
+
+
+_CFG = """
+[dataset]
+task_type = seg
+root_dir = {root}
+modal_num = 1
+train_csv = {root}/{train_csv}
+valid_csv = {root}/valid.csv
+test_csv = {root}/test.csv
+train_batch_size = 2
+train_transform = [NormalizeWithMeanStd, Pad, RandomCrop, LabelToProbability]
+valid_transform = [NormalizeWithMeanStd, Pad, LabelToProbability]
+test_transform = [NormalizeWithMeanStd, Pad]
+NormalizeWithMeanStd_channels = [0]
+Pad_output_size = [8, 16, 16]
+RandomCrop_output_size = [8, 16, 16]
+RandomCrop_foreground_focus = False
+RandomCrop_foreground_ratio = 0.5
+RandomCrop_mask_label = [1]
+
+[network]
+net_type = UNet2D5
+class_num = 2
+in_chns = 1
+feature_chns = [4, 8, 8, 8, 8]
+conv_dims = [2, 2, 3, 3, 3]
+dropout = [0.0, 0.0, 0.2, 0.2, 0.2]
+bilinear = False
+
+[training]
+gpus = [0]
+loss_type = {loss}
+{loss_extra}
+optimizer = Adam
+learning_rate = 1e-3
+momentum = 0.9
+weight_decay = 0.0
+iter_start = 0
+iter_max = {iter_max}
+iter_valid = 4
+iter_save = {iter_max}
+ckpt_save_dir = {root}/model/{run}
+
+[testing]
+gpus = [0]
+ckpt_mode = 1
+domian_label = 0
+fpl = False
+output_dir = {root}/results
+sliding_window_enable = True
+sliding_window_size = [8, 16, 16]
+sliding_window_stride = [8, 16, 16]
+tta_mode = 0
+{extra_testing}
+"""
+
+
+def _cfg(root, name, **kw):
+    kw.setdefault('train_csv', 'train.csv')
+    kw.setdefault('loss', 'DiceLoss')
+    kw.setdefault('loss_extra', '')
+    kw.setdefault('iter_max', 8)
+    kw.setdefault('run', 'base')
+    kw.setdefault('extra_testing', '')
+    path = root / name
+    path.write_text(_CFG.format(root=root, **kw))
+    return str(path)
+
+
+def test_clslsr_chained_pipeline(nll_root):
+    """Noisy train -> fpl_nll_clslsr (confidence maps + _clslsr.csv) ->
+    SLSRLoss retrain consuming the produced manifest."""
+    from fpl_plus_tpu.cli import main, main_nll_clslsr
+    from fpl_plus_tpu.io.image_io import load_image_as_nd_array
+    root = nll_root
+
+    # stage 1: supervised training on the NOISY labels
+    base_cfg = _cfg(root, 'base.cfg')
+    assert main(['train', base_cfg]) == 0
+    assert (root / 'model' / 'base' / 'base_best.txt').exists()
+
+    # stage 2: the CLSLSR driver (real CLI entry)
+    cl_cfg = _cfg(root, 'cl.cfg', extra_testing=(
+        'test_time_dropout = True\ncl_type = both\n'))
+    assert main_nll_clslsr([cl_cfg]) == 0
+    conf_dir = root / 'slsr_conf'
+    assert sorted(os.listdir(conf_dir)) == [
+        'case0.nii.gz', 'case1.nii.gz', 'case2.nii.gz']
+    cl_csv = root / 'train_clslsr.csv'
+    lines = open(cl_csv).read().strip().split('\n')
+    assert lines[0] == 'image,pixel_weight,label'
+    assert len(lines) == 4
+    for line in lines[1:]:
+        img, pw, lab = line.split(',')
+        assert pw.startswith('slsr_conf/')
+
+    # confidence maps: {0, 255} uint8 in the ORIGINAL label geometry
+    conf = load_image_as_nd_array(str(conf_dir / 'case0.nii.gz'))
+    arr = conf['data_array']
+    assert arr.shape[1:] == (8, 16, 16)
+    assert set(np.unique(arr)) <= {0, 255}
+
+    # stage 3: SLSR retrain consumes the PRODUCED manifest (pixel_weight
+    # feeds SLSRLoss's smoothing mask via the fpl_uda batch path)
+    slsr_cfg = _cfg(root, 'slsr.cfg', train_csv='train_clslsr.csv',
+                    loss='SLSRLoss',
+                    loss_extra='train_fpl_uda = True\n'
+                               'slsrloss_epsilon = 0.25',
+                    run='slsr')
+    assert main(['train', slsr_cfg]) == 0
+    assert (root / 'model' / 'slsr' / 'slsr_best.txt').exists()
+    # the pixel weights are load-bearing: an identical retrain WITHOUT the
+    # mask must produce a different loss trajectory
+    import json
+    plain_cfg = _cfg(root, 'plain.cfg', train_csv='train_clslsr.csv',
+                     loss='SLSRLoss',
+                     loss_extra='slsrloss_epsilon = 0.25',
+                     run='plain')
+    assert main(['train', plain_cfg]) == 0
+    losses = {}
+    for run in ('slsr', 'plain'):
+        with open(root / 'model' / run / 'scalars.jsonl') as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec['tag'] == 'loss':
+                    losses[run] = rec['train']
+    assert losses['slsr'] != losses['plain'], losses

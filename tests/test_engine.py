@@ -265,6 +265,87 @@ def test_sliding_window_multiscale_outputs(rng):
                                atol=1e-4)
 
 
+class TwoScaleSubsample(LinearPredictor):
+    """Multi-head 'net': full-res linear map + its 2x strided subsample
+    (exactly reproducible in torch for the golden test below)."""
+
+    def __call__(self, ctx, x):
+        full = jnp.einsum('...c,ck->...k', x, jnp.asarray(self.w))
+        half = full[:, ::2, ::2, ::2, :]
+        return [full, half]
+
+
+@pytest.mark.parametrize('overlap', [False, True])
+def test_multiscale_counter_reference_mode_matches_torch(rng, overlap):
+    """[testing] multiscale_counter = reference reproduces the reference
+    stack's multi-head overlap division (interpolated full-res counter
+    incremented once per head per patch, infer_func.py:113-140) — golden
+    vs the actual torch Inferer, with 50% window overlap and without."""
+    import os
+    import sys
+    import types
+    REF = '/root/reference/PyMIC'
+    if not os.path.isdir(REF):
+        pytest.skip('reference not available')
+    torch = pytest.importorskip('torch')
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    if 'PyMIC' not in sys.modules:
+        pkg = types.ModuleType('PyMIC')
+        pkg.__path__ = [REF]
+        sys.modules['PyMIC'] = pkg
+    import pymic.net_run.infer_func as ref_if
+
+    w_mat = rng.normal(size=(1, 2)).astype(np.float32)
+    # overlap case: depth 9 clamps the last start to 5 (odd), so the half
+    # head's exact per-scale coverage genuinely diverges from the
+    # interpolated full-res counter; non-overlap case: clean disjoint grid
+    depth = 9 if overlap else 8
+    img = rng.normal(size=(1, 1, depth, 16, 16)).astype(np.float32)
+    window = [4, 8, 8]
+    stride = [2, 4, 4] if overlap else [4, 8, 8]
+    base = {'sliding_window_enable': True, 'sliding_window_size': window,
+            'sliding_window_stride': stride, 'tta_mode': 0,
+            'infer_shape_bucket': 0, 'class_num': 2}
+
+    class TorchTwoScale(torch.nn.Module):
+        def forward(self, x):
+            w = torch.from_numpy(w_mat)
+            full = torch.einsum('ncdhw,ck->nkdhw', x, w)
+            return [full, full[:, :, ::2, ::2, ::2]]
+
+    with torch.no_grad():
+        ref_outs = ref_if.Inferer(dict(base)).run(
+            TorchTwoScale(), torch.from_numpy(img))
+    ref_outs = [o.numpy() for o in ref_outs]
+
+    ours_ref = Inferer(dict(base, multiscale_counter='reference'),
+                       patch_chunk=2).run(TwoScaleSubsample(w_mat), None, img)
+    for got, ref in zip(ours_ref, ref_outs):
+        np.testing.assert_allclose(got, ref, atol=1e-4)
+
+    # quantify the exact-vs-reference deviation: 'exact' divides every head
+    # by its own coverage, 'reference' by 2x the interpolated full-res
+    # counter — a uniform 2x logit scale without overlap, plus boundary
+    # deviations once windows overlap
+    ours_exact = Inferer(dict(base), patch_chunk=2).run(
+        TwoScaleSubsample(w_mat), None, img)
+    # head 0 is full-res: reference mode is exactly the 2x-scaled exact mode
+    np.testing.assert_allclose(
+        ours_exact[0], 2.0 * np.asarray(ours_ref[0]), atol=1e-4)
+    if overlap:
+        # the half head's exact per-scale coverage differs from the
+        # interpolated full-res counter at the odd clamped start
+        delta = np.abs(np.asarray(ours_exact[1])
+                       - 2.0 * np.asarray(ours_ref[1]))
+        assert delta.max() > 1e-3, \
+            'overlapping clamped grids should make the counter modes diverge'
+    # argmax (the segmentation output) is invariant to the per-voxel
+    # positive rescale on the primary head
+    np.testing.assert_array_equal(np.argmax(ours_exact[0], 1),
+                                  np.argmax(np.asarray(ours_ref[0]), 1))
+
+
 class ContextPredictor:
     """Window-context-sensitive 'network' (adds the window mean to a linear
     map) with a trace counter: its __call__ only runs while jit traces, so

@@ -158,3 +158,48 @@ def test_gatedcrf_shape_and_range(rng):
     out = GatedCRFLoss()(y, [{'weight': 1.0, 'xy': 6, 'image': 0.1}], 2,
                          {'image': img}, h, w)
     assert np.isfinite(float(out['loss']))
+
+
+@pytest.mark.parametrize('radius,masked,two_kernels', [
+    (2, False, False),
+    (3, False, True),
+    (2, True, False),
+])
+def test_gatedcrf_golden_vs_reference(ref_losses, rng, radius, masked,
+                                      two_kernels):
+    """Numeric parity with the reference torch GatedCRFLoss
+    (PyMIC/pymic/loss/seg/gatedcrf.py:9-184): gated kernel construction,
+    centre-tap zeroing, mask gating/denominator and the Potts contraction
+    all agree to float32 tolerance."""
+    from fpl_plus_tpu.losses import GatedCRFLoss
+    import pymic.loss.seg.gatedcrf as ref_mod
+    torch = ref_losses['torch']
+
+    n, h, w, c = 2, 12, 10, 3
+    y = rng.uniform(size=(n, h, w, c)).astype(np.float32)
+    y = y / y.sum(-1, keepdims=True)
+    img = rng.uniform(size=(n, h, w, 1)).astype(np.float32)
+    desc = [{'weight': 0.9, 'xy': 6, 'image': 0.1}]
+    if two_kernels:
+        desc.append({'weight': 0.1, 'xy': 6})
+    mask_src = mask_dst = None
+    t_src = t_dst = None
+    if masked:
+        mask_src = (rng.uniform(size=(n, h, w, 1)) > 0.3).astype(np.float32)
+        mask_dst = (rng.uniform(size=(n, h, w, 1)) > 0.3).astype(np.float32)
+        t_src = torch.from_numpy(np.moveaxis(mask_src, -1, 1).copy())
+        t_dst = torch.from_numpy(np.moveaxis(mask_dst, -1, 1).copy())
+
+    got = float(GatedCRFLoss()(
+        jnp.asarray(y), desc, radius, {'image': jnp.asarray(img)}, h, w,
+        mask_src=None if mask_src is None else jnp.asarray(mask_src),
+        mask_dst=None if mask_dst is None else jnp.asarray(mask_dst),
+    )['loss'])
+
+    # fresh torch tensors per call: the reference divides sample features
+    # by sigma IN PLACE (gatedcrf.py:140)
+    ref = ref_mod.GatedCRFLoss()(
+        torch.from_numpy(np.moveaxis(y, -1, 1).copy()), desc, radius,
+        {'image': torch.from_numpy(np.moveaxis(img, -1, 1).copy())}, h, w,
+        mask_src=t_src, mask_dst=t_dst)['loss'].item()
+    assert abs(ref - got) < 1e-4 * max(1.0, abs(ref)), (ref, got)

@@ -54,7 +54,7 @@ def mh_root(tmp_path_factory):
     return root
 
 
-def _write_cfg(root, run, result, batch=8, mesh=-1):
+def _write_cfg(root, run, result, batch=8, mesh=-1, extra_training=''):
     cfg = """
 [dataset]
 task_type = seg
@@ -101,6 +101,7 @@ iter_max = 2
 iter_valid = 2
 iter_save = 2
 ckpt_save_dir = {root}/model/{run}
+{extra_training}
 
 [testing]
 gpus = [0]
@@ -112,7 +113,8 @@ sliding_window_enable = True
 sliding_window_size = [8, 16, 16]
 sliding_window_stride = [8, 16, 16]
 tta_mode = 1
-""".format(root=root, run=run, result=result, batch=batch, mesh=mesh)
+""".format(root=root, run=run, result=result, batch=batch, mesh=mesh,
+           extra_training=extra_training)
     path = root / (run + '_' + result + '.cfg')
     path.write_text(cfg)
     return str(path)
@@ -185,6 +187,27 @@ def test_two_process_train(mh_root):
     # the auto-test stage also ran on both processes; one wrote outputs
     assert (mh_root / 'result_mh2' / 'mh2_test' / 'case1.nii.gz').exists()
     assert any('multihost: process' in o for o in outs)
+
+
+def test_two_process_train_grad_accum(mh_root):
+    """Multihost + grad accumulation: the stacked [accum, B, ...] batch is
+    placed with ``_place_batch(lead_axes=1)`` — a P(None, 'data') partially
+    replicated sharding through ``make_array_from_process_local_data`` —
+    a code path the plain multihost train never hits (ADVICE r3)."""
+    cfg = _write_cfg(mh_root, 'mhga', 'result_mhga',
+                     extra_training='grad_accum_steps = 2')
+    procs = [_launch('train', cfg, pid=pid, port=PORT + 2)
+             for pid in (0, 1)]
+    _wait_all(procs)
+    ckpt_dir = mh_root / 'model' / 'mhga'
+    assert (ckpt_dir / 'mhga_latest.txt').read_text().strip() == '2'
+    assert (ckpt_dir / 'mhga_2.ckpt').exists()
+    tags = []
+    with open(ckpt_dir / 'scalars.jsonl') as f:
+        for line in f:
+            rec = json.loads(line)
+            tags.append((rec['tag'], rec['step']))
+    assert len(tags) == len(set(tags)), 'duplicate scalar rows: two writers'
 
 
 def test_two_process_test_stage_matches_single(mh_root):

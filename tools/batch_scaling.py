@@ -108,6 +108,10 @@ def main():
                 if isinstance(cost, list):
                     cost = cost[0]
                 flops = float(cost.get('flops', float('nan')))
+                # XLA's cost analysis counts a lax.scan body ONCE; the
+                # accum program executes it `accum` times — scale so the
+                # tflops/achieved/mfu columns stay comparable across rows
+                flops *= max(accum, 1)
             except Exception as exc:   # cost analysis is best-effort
                 emit(batch_per_domain=b, note='cost_analysis failed',
                      error=str(exc)[:120])
