@@ -69,6 +69,19 @@ def window_grid(img_shape: Sequence[int], window: Sequence[int],
     return np.asarray(starts, np.int32)
 
 
+def dim_start_lists(img_shape: Sequence[int], window: Sequence[int],
+                    stride: Sequence[int]) -> Tuple[Tuple[int, ...], ...]:
+    """Per-dim clamped start lists whose Cartesian product is
+    ``window_grid`` (duplicates from aggressive clamping kept — the
+    reference counts them). Because the grid is this product, the overlap
+    COUNTER is separable: an outer product of per-dim 1-D coverage
+    vectors (see _analytic_counters) — no accumulation ops needed."""
+    return tuple(
+        tuple(min(p, img_shape[d] - window[d])
+              for p in range(0, img_shape[d], stride[d]))
+        for d in range(len(img_shape)))
+
+
 _FLIPS_3D = ((), (1,), (2,), (1, 2))   # identity, flip-H, flip-W, flip-HW
 _FLIPS_2D = ((), (0,), (1,), (0, 1))
 
@@ -95,16 +108,113 @@ def _as_list(out):
     return list(out) if isinstance(out, (tuple, list)) else [out]
 
 
+def _probe_heads(predictor, ctx, variants, window, chunk):
+    """Static head-shape probe (no FLOPs): per-head window shapes and
+    full-volume output shapes — the same scale rule as the accumulation
+    core (reference infer_func.py:31-48)."""
+    v_num = variants.shape[0]
+    in_c = variants.shape[-1]
+    img_shape = variants.shape[1:-1]
+    dim = len(img_shape)
+    probe = jax.eval_shape(predictor, ctx,
+                           jnp.zeros((v_num * chunk,) + tuple(window)
+                                     + (in_c,), variants.dtype))
+    probes = _as_list(probe)
+    head_windows = [tuple(p.shape[1:-1]) for p in probes]
+    out_shapes = [tuple(int(img_shape[d] * head_windows[i][d] / window[d])
+                        for d in range(dim))
+                  for i in range(len(probes))]
+    return head_windows, out_shapes
+
+
+def _counters_for(predictor, ctx, variants, window, chunk, dim_starts,
+                  pads, tta_n=None):
+    """Analytic counters matching ``_sliding_window_jit``'s (dropped)
+    accumulated ones: no variant axis when ``pads`` is None; else one
+    counter per flip variant, tiled across batched volume groups."""
+    head_windows, out_shapes = _probe_heads(predictor, ctx, variants,
+                                            window, chunk)
+    v_num = variants.shape[0]
+    tta_n = tta_n if tta_n is not None else v_num
+    if pads is None:
+        return _analytic_counters(dim_starts, window, head_windows,
+                                  out_shapes)
+    dim = variants.ndim - 2
+    flips = (_FLIPS_3D if dim == 3 else _FLIPS_2D)[:tta_n]
+    cnts = _analytic_counters(dim_starts, window, head_windows, out_shapes,
+                              pads, flips)
+    if v_num != tta_n:
+        cnts = [jnp.concatenate([c] * (v_num // tta_n), 0) for c in cnts]
+    return cnts
+
+
+def _analytic_counters(dim_starts, window, head_windows, out_shapes,
+                       pads=None, flips=()):
+    """Closed-form overlap counters (one per prediction head).
+
+    The window grid is the Cartesian product of the per-dim start lists
+    ``dim_starts``, so each head's coverage counter factorizes into an
+    outer product of per-dim 1-D coverage vectors — replacing the O(P)
+    read-add-write counter updates of the accumulation path (measured the
+    dominant machinery cost of the inference program, BASELINE.md round 2)
+    with three tiny vector ops. Exactly equal to the accumulated counter,
+    including clamp-duplicate starts (each weight-1 start counts once) and
+    the per-head scaled grids (same floor rule as ``scaled()``).
+
+    ``pads`` None -> constants folded at trace time; one ``[*out_i, 1]``
+    array per head. ``pads`` a traced [dim] i32 array (shape bucketing) ->
+    per-VARIANT counters [len(flips), *out_i, 1]: variant grids shift by
+    the pad along their flipped dims (``flips`` = static flip-axis tuples).
+    """
+    dim = len(dim_starts)
+    cnts = []
+    for win_i, oshape in zip(head_windows, out_shapes):
+        if pads is None:
+            vecs = []
+            for d in range(dim):
+                cov = np.zeros(oshape[d], np.float32)
+                for s in dim_starts[d]:
+                    s0 = s * win_i[d] // window[d]
+                    cov[s0:s0 + win_i[d]] += 1.0
+                vecs.append(jnp.asarray(cov))
+            c = vecs[0]
+            for d in range(1, dim):
+                c = c[..., None] * vecs[d]
+            cnts.append(c[..., None])
+        else:
+            variant_cnts = []
+            for ax in flips:
+                vecs = []
+                for d in range(dim):
+                    idx = jnp.arange(oshape[d], dtype=jnp.int32)
+                    s_full = jnp.asarray(dim_starts[d], jnp.int32)
+                    if d in ax:
+                        s_full = s_full + pads[d]
+                    s0 = (s_full * win_i[d] // window[d])[:, None]
+                    cov = jnp.sum(
+                        (idx[None, :] >= s0) & (idx[None, :] < s0 + win_i[d]),
+                        axis=0).astype(jnp.float32)
+                    vecs.append(cov)
+                c = vecs[0]
+                for d in range(1, dim):
+                    c = c[..., None] * vecs[d]
+                variant_cnts.append(c[..., None])
+            cnts.append(jnp.stack(variant_cnts))
+    return cnts
+
+
 @partial(jax.jit, static_argnames=('predictor', 'window', 'chunk',
                                    'unroll_accum', 'tta_v',
-                                   'static_starts', 'static_weights'))
+                                   'static_starts', 'static_weights',
+                                   'accumulate_counters'))
 def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
                         starts: jnp.ndarray, weights: jnp.ndarray,
                         window: Tuple[int, ...], chunk: int,
                         pads: Optional[jnp.ndarray] = None,
                         unroll_accum: bool = False,
                         tta_v: Optional[int] = None,
-                        static_starts=None, static_weights=None):
+                        static_starts=None, static_weights=None,
+                        accumulate_counters: bool = True):
     """Core program: volume_v [V, *img, C], starts [P, dim] (P % chunk == 0),
     ``weights`` [P] scaling each window's contribution to output AND counter
     (0 for the duplicate starts that round out the last chunk — a nonzero
@@ -123,7 +233,13 @@ def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
     Returns (outputs, counters): lists with one [V, *img_i, K_i] output and
     one [V, *img_i, 1] counter per prediction head (multi-scale nets produce
     several; single-output nets produce singleton lists). Counters carry the
-    variant axis because shifted grids overlap differently per variant."""
+    variant axis because shifted grids overlap differently per variant.
+    ``accumulate_counters=False`` (the Inferer paths) skips all counter
+    accumulation and returns (outputs, None) — the caller computes the
+    SAME counters in closed form (``_analytic_counters``: the grid is a
+    Cartesian product, so coverage is an outer product of per-dim
+    vectors), roughly halving the accumulation machinery that dominated
+    the profiled device program (BASELINE.md round-2 finding 3)."""
     v_num = volume_v.shape[0]
     img_shape = volume_v.shape[1:-1]
     dim = len(img_shape)
@@ -171,7 +287,9 @@ def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
     zero = (starts[0, 0] * 0).astype(jnp.float32)
     outs0 = [[jnp.zeros(out_shapes[i] + (ks[i],), jnp.float32) + zero
               for _ in range(v_num)] for i in range(len(probes))]
-    if per_variant:
+    if not accumulate_counters:
+        cnts0 = None
+    elif per_variant:
         # counters depend only on the flip pattern: tta_n distinct grids,
         # shared by every volume group in batched serving (tiled to v_num
         # on return) — not recomputed per group
@@ -258,7 +376,7 @@ def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
                         o_v = add_at(o_v, pos_of(p, v, i), contrib,
                                      windows[i])
                 outs_v.append(o_v)
-            if per_variant:
+            if accumulate_counters and per_variant:
                 for v in range(tta_n):
                     c_v = cnts0[i][v]
                     for p in range(n_chunks * chunk):
@@ -266,6 +384,8 @@ def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
                                      ones_wins[i] * weights[p], windows[i])
                     cnts_v.append(c_v)
             outs.append(jnp.stack(outs_v))
+            if not accumulate_counters:
+                continue
             if per_variant:
                 cnts.append(jnp.concatenate(
                     [jnp.stack(cnts_v)] * (v_num // tta_n), 0))
@@ -280,7 +400,7 @@ def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
                         inc = inc * w_p
                     c_a = add_at(c_a, pos_of(p, 0, i), inc, windows[i])
                 cnts.append(c_a)
-        return outs, cnts
+        return outs, (cnts if accumulate_counters else None)
 
     def body(carry, chunk_in):
         starts_c, weights_c = chunk_in
@@ -300,6 +420,8 @@ def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
                 outs_v.append(o_v)
             new_outs.append(outs_v)
 
+            if not accumulate_counters:
+                continue
             if per_variant:
                 cnts_v = []
                 for v in range(tta_n):
@@ -316,13 +438,15 @@ def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
                     c = add_at(c, scaled(starts_c[j], i),
                                ones_wins[i] * weights_c[j], windows[i])
                 new_cnts.append(c)
-        return (new_outs, new_cnts), None
+        return (new_outs, new_cnts if accumulate_counters else None), None
 
     (outs, cnts), _ = jax.lax.scan(body, (outs0, cnts0),
                                    (starts_chunks, weights_chunks))
     # restore the stacked [V, ...] / [*img, 1] return contract (tiling
     # the tta_n shared counters across volume groups)
     outs = [jnp.stack(o) for o in outs]
+    if not accumulate_counters:
+        return outs, None
     if per_variant:
         cnts = [jnp.concatenate([jnp.stack(c)] * (v_num // tta_n), 0)
                 for c in cnts]
@@ -416,7 +540,7 @@ def _finalize(out, output_mode: str):
 @partial(jax.jit, static_argnames=('predictor', 'window', 'chunk', 'tta',
                                    'output_mode', 'unroll_accum',
                                    'static_starts', 'static_weights',
-                                   'counter_mode'))
+                                   'counter_mode', 'dim_starts'))
 def _sliding_window_full(predictor, ctx, vol: jnp.ndarray,
                          starts: jnp.ndarray, weights: jnp.ndarray,
                          window: Tuple[int, ...],
@@ -424,18 +548,28 @@ def _sliding_window_full(predictor, ctx, vol: jnp.ndarray,
                          pads: Optional[jnp.ndarray] = None,
                          unroll_accum: bool = False,
                          static_starts=None, static_weights=None,
-                         counter_mode: str = 'exact'):
+                         counter_mode: str = 'exact',
+                         dim_starts=None):
     """One-dispatch program per volume: flip variants, sliding-window
     accumulation, overlap division, TTA un-flip averaging and the output
     head all fused — a single host round-trip matters on high-latency
     device links. With ``pads`` (shape bucketing) the counter is zero in
     the padded margin (no window ever writes there); the epsilon keeps the
-    division clean and the caller crops the margin away."""
+    division clean and the caller crops the margin away.
+
+    ``dim_starts`` (static per-dim start tuples): counters come in closed
+    form (``_analytic_counters``) and the core skips all counter
+    accumulation; None falls back to accumulated counters (direct callers
+    such as tools/mfu.py)."""
     variants = _make_variants(vol, tta)
     outs, cnts = _sliding_window_jit(predictor, ctx, variants, starts,
                                      weights, window, chunk, pads,
                                      unroll_accum, None,
-                                     static_starts, static_weights)
+                                     static_starts, static_weights,
+                                     accumulate_counters=dim_starts is None)
+    if dim_starts is not None:
+        cnts = _counters_for(predictor, ctx, variants, window, chunk,
+                             dim_starts, pads)
     return [_finalize(_unflip_mean(
         _overlap_divide(o, c, cnts[0], len(outs), counter_mode), tta),
         output_mode) for o, c in zip(outs, cnts)]
@@ -443,14 +577,15 @@ def _sliding_window_full(predictor, ctx, vol: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=('predictor', 'window', 'chunk', 'tta',
                                    'output_mode', 'unroll_accum',
-                                   'counter_mode'))
+                                   'counter_mode', 'dim_starts'))
 def _sliding_window_full_batch(predictor, ctx, vols: jnp.ndarray,
                                starts: jnp.ndarray, weights: jnp.ndarray,
                                window: Tuple[int, ...], chunk: int,
                                tta: bool, output_mode: str,
                                pads: Optional[jnp.ndarray] = None,
                                unroll_accum: bool = False,
-                               counter_mode: str = 'exact'):
+                               counter_mode: str = 'exact',
+                               dim_starts=None):
     """Batched serving: N same-shape volumes [N, *img, C] in ONE program
     dispatch — the TTA variants of every volume stack into a single
     leading axis (v_num = N x V), so the per-dispatch/link latency that
@@ -462,7 +597,11 @@ def _sliding_window_full_batch(predictor, ctx, vols: jnp.ndarray,
         [_make_variants(vols[i], tta) for i in range(n)], axis=0)
     outs, cnts = _sliding_window_jit(predictor, ctx, variants, starts,
                                      weights, window, chunk, pads,
-                                     unroll_accum, tta_v=v)
+                                     unroll_accum, tta_v=v,
+                                     accumulate_counters=dim_starts is None)
+    if dim_starts is not None:
+        cnts = _counters_for(predictor, ctx, variants, window, chunk,
+                             dim_starts, pads, tta_n=v)
     results = []
     for o, c in zip(outs, cnts):
         o = _overlap_divide(o, c, cnts[0], len(outs), counter_mode)
@@ -475,14 +614,15 @@ def _sliding_window_full_batch(predictor, ctx, vols: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=('predictor', 'window', 'chunk', 'tta',
                                    'output_mode', 'mesh', 'unroll_accum',
-                                   'counter_mode'))
+                                   'counter_mode', 'dim_starts'))
 def _sliding_window_full_sharded(predictor, ctx, vol: jnp.ndarray,
                                  starts: jnp.ndarray, weights: jnp.ndarray,
                                  window: Tuple[int, ...], chunk: int,
                                  tta: bool, output_mode: str, mesh,
                                  pads: Optional[jnp.ndarray] = None,
                                  unroll_accum: bool = False,
-                                 counter_mode: str = 'exact'):
+                                 counter_mode: str = 'exact',
+                                 dim_starts=None):
     """Multi-device variant of ``_sliding_window_full``: the patch-start
     grid is sharded across the mesh with ``shard_map`` (spatial parallelism,
     SURVEY.md section 5.7) — every device accumulates its windows into a
@@ -499,18 +639,30 @@ def _sliding_window_full_sharded(predictor, ctx, vol: jnp.ndarray,
     if pads is None:
         pads = jnp.zeros((variants.ndim - 2,), jnp.int32)
 
+    analytic = dim_starts is not None
+
     def local(ctx_l, volume_v, starts_l, weights_l, pads_l):
         outs, cnts = _sliding_window_jit(predictor, ctx_l, volume_v,
                                          starts_l, weights_l, window, chunk,
-                                         pads_l, unroll_accum)
+                                         pads_l, unroll_accum,
+                                         accumulate_counters=not analytic)
         outs = [jax.lax.psum(o, axis) for o in outs]
+        if analytic:
+            return outs
         cnts = [jax.lax.psum(c, axis) for c in cnts]
         return outs, cnts
 
     fn = shard_map(local, mesh=mesh,
                    in_specs=(P(), P(), P(axis), P(axis), P()),
-                   out_specs=(P(), P()))
-    outs, cnts = fn(ctx, variants, starts, weights, pads)
+                   out_specs=(P() if analytic else (P(), P())))
+    if analytic:
+        outs = fn(ctx, variants, starts, weights, pads)
+        # counters are grid-global (the full Cartesian product), computed
+        # once in closed form on replicated values — NOT psummed
+        cnts = _counters_for(predictor, ctx, variants, window, chunk,
+                             dim_starts, pads)
+    else:
+        outs, cnts = fn(ctx, variants, starts, weights, pads)
     return [_finalize(_unflip_mean(
         _overlap_divide(o, c, cnts[0], len(outs), counter_mode), tta),
         output_mode) for o, c in zip(outs, cnts)]
@@ -816,6 +968,7 @@ class Inferer:
             # 0 disables.
             pads, starts, weights, chunk, target = self._bucket_plan(
                 tuple(img_shape), window, stride)
+            dims = dim_start_lists(tuple(img_shape), window, stride)
             if pads is not None and any(pads):
                 vol = jnp.pad(vol, [(0, p) for p in pads] + [(0, 0)],
                               mode='edge')   # values are never read
@@ -843,7 +996,7 @@ class Inferer:
                     jax.device_put(jnp.asarray(starts), grid),
                     jax.device_put(jnp.asarray(weights), grid),
                     tuple(window), chunk, tta, device_mode, self.mesh,
-                    pads_arr, unroll, self.counter_mode)
+                    pads_arr, unroll, self.counter_mode, dims)
             else:
                 pads_arr = None if pads is None else jnp.asarray(
                     pads, jnp.int32)
@@ -864,7 +1017,7 @@ class Inferer:
                                             tuple(window), chunk, tta,
                                             device_mode, pads_arr,
                                             unroll, st_s, st_w,
-                                            self.counter_mode)
+                                            self.counter_mode, dims)
             if pads is not None and any(pads):
                 outs = self._crop_margins(outs, img_shape, true_shape, 0)
         return self._finish_outputs(outs, batched=False)
@@ -958,6 +1111,7 @@ class Inferer:
         device_mode = 'label' if self.packed else self.output_mode
         pads, starts, weights, chunk, target = self._bucket_plan(
             tuple(img_shape), window, stride)
+        dims = dim_start_lists(tuple(img_shape), window, stride)
         if pads is not None and any(pads):
             vols = jnp.pad(vols, [(0, 0)] + [(0, p) for p in pads]
                            + [(0, 0)], mode='edge')
@@ -980,7 +1134,7 @@ class Inferer:
         outs = _sliding_window_full_batch(
             predictor, ctx, vols, jnp.asarray(starts),
             jnp.asarray(weights), tuple(window), chunk, tta, device_mode,
-            pads_arr, unroll, self.counter_mode)
+            pads_arr, unroll, self.counter_mode, dims)
         if pads is not None and any(pads):
             outs = self._crop_margins(outs, vols.shape[1:-1],
                                       tuple(img_shape), 1)
