@@ -788,6 +788,10 @@ class Inferer:
         if self.counter_mode not in ('exact', 'reference'):
             raise ValueError('Undefined multiscale_counter {0}'.format(
                 self.counter_mode))
+        # closed-form counters (default; see _analytic_counters) vs the
+        # legacy accumulated-counter program — an A/B lever for perf
+        # attribution on real hardware
+        self.analytic_counters = config.get('analytic_counters', True)
 
     def _resolve_sw(self, img_shape):
         """(use_sw, window, stride) with the reference clamps: window caps
@@ -968,7 +972,8 @@ class Inferer:
             # 0 disables.
             pads, starts, weights, chunk, target = self._bucket_plan(
                 tuple(img_shape), window, stride)
-            dims = dim_start_lists(tuple(img_shape), window, stride)
+            dims = (dim_start_lists(tuple(img_shape), window, stride)
+                    if self.analytic_counters else None)
             if pads is not None and any(pads):
                 vol = jnp.pad(vol, [(0, p) for p in pads] + [(0, 0)],
                               mode='edge')   # values are never read
@@ -1111,7 +1116,8 @@ class Inferer:
         device_mode = 'label' if self.packed else self.output_mode
         pads, starts, weights, chunk, target = self._bucket_plan(
             tuple(img_shape), window, stride)
-        dims = dim_start_lists(tuple(img_shape), window, stride)
+        dims = (dim_start_lists(tuple(img_shape), window, stride)
+                if self.analytic_counters else None)
         if pads is not None and any(pads):
             vols = jnp.pad(vols, [(0, 0)] + [(0, p) for p in pads]
                            + [(0, 0)], mode='edge')

@@ -240,7 +240,7 @@ lr_milestones = [10000]
 ckpt_save_dir = {work}/{side}/model/parity
 ckpt_save_prefix = dsbn
 deterministic = True
-random_seed = 1
+random_seed = {seed}
 iter_start = 0
 iter_max = {iter_max}
 iter_valid = {iter_valid}
@@ -290,13 +290,21 @@ def write_workspace(work: str) -> None:
             'image,label',
             'dataset/hrT2_valid/vs_gk_95_t2.nii.gz,'
             'dataset/hrT2_valid/vs_gk_95_t2_seg.nii.gz'],
+        # two test cases: the held-out test volume AND the (overfit)
+        # training volume — the latter provides a NON-degenerate operating
+        # point (high absolute Dice) for the parity comparison, where a
+        # silent numerics slip could not hide behind all-background
+        # agreement (VERDICT r3 weak #3)
         'test_hrT2.csv': [
             'image,label',
             'dataset/hrT2_test/vs_gk_9_t2.nii.gz,'
-            'dataset/hrT2_test/vs_gk_9_t2_seg.nii.gz'],
+            'dataset/hrT2_test/vs_gk_9_t2_seg.nii.gz',
+            'dataset/hrT2_train/img/vs_gk_98_t2.nii.gz,'
+            'dataset/hrT2_train/lab/vs_gk_98_t2.nii.gz'],
         'pairs.csv': [
             'gt,seg',
-            'dataset/hrT2_test/vs_gk_9_t2_seg.nii.gz,vs_gk_9_t2.nii.gz'],
+            'dataset/hrT2_test/vs_gk_9_t2_seg.nii.gz,vs_gk_9_t2.nii.gz',
+            'dataset/hrT2_train/lab/vs_gk_98_t2.nii.gz,vs_gk_98_t2.nii.gz'],
     }
     for name, lines in man.items():
         with open(os.path.join(work, name), 'w') as f:
@@ -304,9 +312,9 @@ def write_workspace(work: str) -> None:
 
 
 def write_cfg(work: str, side: str, iter_max: int = 300,
-              iter_valid: int = 100) -> str:
+              iter_valid: int = 100, seed: int = 1) -> str:
     cfg = CFG.format(ref=REF, work=work, side=side, iter_max=iter_max,
-                     iter_valid=iter_valid)
+                     iter_valid=iter_valid, seed=seed)
     path = os.path.join(work, side + '.cfg')
     with open(path, 'w') as f:
         f.write(cfg)
@@ -324,7 +332,8 @@ def read_scores(csv_path: str) -> dict:
     return rows
 
 
-def run_reference(work: str) -> None:
+def run_reference(work: str, side: str = 'ref', seed: int = 1,
+                  iter_max: int = 300, iter_valid: int = 100) -> None:
     """Drive the reference net_run_dsbn main() (train -> test -> eva_main)."""
     install_shims()
     import torch
@@ -365,7 +374,8 @@ def run_reference(work: str) -> None:
     torch.Tensor.to = tensor_to
     torch.nn.Module.to = module_to
     torch.load = load
-    cfg_path = write_cfg(work, 'ref')
+    cfg_path = write_cfg(work, side, iter_max=iter_max,
+                         iter_valid=iter_valid, seed=seed)
     import pymic.net_run_dsbn.net_run as ref_net_run
     argv = sys.argv
     sys.argv = ['net_run.py', 'train', cfg_path]
