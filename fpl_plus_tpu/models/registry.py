@@ -32,13 +32,15 @@ def _unet2d5_dsbn(cfg):
                        bilinear=cfg.get('bilinear', False),
                        num_domains=cfg.get('num_domains', 2),
                        fused_eval=cfg.get('pallas_fused', False),
+                       flat25d=cfg.get('flat25d', False),
                        **_common(cfg))
 
 
 def _unet2d5(cfg):
     return UNet2D5(conv_dims=tuple(cfg['conv_dims']),
                    bilinear=cfg.get('bilinear', False),
-                   fused_eval=cfg.get('pallas_fused', False), **_common(cfg))
+                   fused_eval=cfg.get('pallas_fused', False),
+                   flat25d=cfg.get('flat25d', False), **_common(cfg))
 
 
 def _unet3d(cfg):

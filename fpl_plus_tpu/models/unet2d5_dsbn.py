@@ -24,7 +24,9 @@ from typing import Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from fpl_plus_tpu.models.common import (PReLU, fold_depth_to_batch, max_pool,
+from fpl_plus_tpu.models.common import (DepthSliceConv,
+                                        DepthSliceConvTranspose, PReLU,
+                                        fold_depth_to_batch, max_pool,
                                         unfold_depth_from_batch,
                                         upsample_align_corners)
 from fpl_plus_tpu.models.dsbn import DomainBatchNorm, InstanceNorm
@@ -53,13 +55,21 @@ class ConvBlockND(nn.Module):
 
     @nn.compact
     def __call__(self, x, domain, train: bool, use_dropout: bool):
-        k = (3,) * self.dim
-        x = nn.Conv(self.out_channels, k, padding='SAME', name='conv1')(x)
+        if self.dim == 2 and x.ndim == 5:
+            # flat-2.5D: slice-wise 2D convs on the rank-5 tensor (depth-1
+            # kernels, parameter-identical to the folded nn.Conv layout)
+            def conv(name):
+                return DepthSliceConv(self.out_channels, (3, 3), name=name)
+        else:
+            def conv(name):
+                return nn.Conv(self.out_channels, (3,) * self.dim,
+                               padding='SAME', name=name)
+        x = conv('conv1')(x)
         x = self._norm_act(x, domain, train, 'bn1', 'act1')
         if self.dropout_p > 0:
             x = nn.Dropout(self.dropout_p, deterministic=not use_dropout,
                            name='drop')(x)
-        x = nn.Conv(self.out_channels, k, padding='SAME', name='conv2')(x)
+        x = conv('conv2')(x)
         x = self._norm_act(x, domain, train, 'bn2', 'act2')
         return x
 
@@ -71,16 +81,24 @@ class DownBlock(nn.Module):
     dropout_p: float = 0.0
     downsample: bool = True
     fused_eval: bool = False
+    flat25d: bool = False
 
     @nn.compact
     def __call__(self, x, domain, train: bool, use_dropout: bool):
-        fold = self.dim == 2 and x.ndim == 5
+        fold = self.dim == 2 and x.ndim == 5 and not self.flat25d
         if fold:
             x, nd = fold_depth_to_batch(x)
         out = ConvBlockND(self.out_channels, self.num_domains, self.dim,
                           self.dropout_p, self.fused_eval,
                           name='conv')(x, domain, train, use_dropout)
-        out_d = max_pool(out, 2) if self.downsample else None
+        if not self.downsample:
+            out_d = None
+        elif self.dim == 2 and out.ndim == 5:
+            # flat-2.5D: pool H/W only on the rank-5 tensor
+            out_d = nn.max_pool(out, window_shape=(1, 2, 2),
+                                strides=(1, 2, 2))
+        else:
+            out_d = max_pool(out, 2)
         if fold:
             out = unfold_depth_from_batch(out, nd)
             if out_d is not None:
@@ -96,17 +114,28 @@ class UpBlock(nn.Module):
     dropout_p: float = 0.0
     bilinear: bool = True
     fused_eval: bool = False
+    flat25d: bool = False
 
     @nn.compact
     def __call__(self, x1, x2, domain, train: bool, use_dropout: bool):
         # x1: low-res decoder feature; x2: high-res encoder skip
-        fold = self.dim == 2 and x1.ndim == 5
+        flat = self.dim == 2 and x1.ndim == 5 and self.flat25d
+        fold = self.dim == 2 and x1.ndim == 5 and not self.flat25d
         if fold:
             x1, nd1 = fold_depth_to_batch(x1)
             x2, nd2 = fold_depth_to_batch(x2)
         if self.bilinear:
-            x1 = nn.Conv(self.skip_channels, (1,) * self.dim, name='proj')(x1)
-            x1 = upsample_align_corners(x1, 2)
+            if flat:
+                x1 = DepthSliceConv(self.skip_channels, (1, 1),
+                                    name='proj')(x1)
+                x1 = upsample_align_corners(x1, 2, axes=(2, 3))
+            else:
+                x1 = nn.Conv(self.skip_channels, (1,) * self.dim,
+                             name='proj')(x1)
+                x1 = upsample_align_corners(x1, 2)
+        elif flat:
+            x1 = DepthSliceConvTranspose(self.skip_channels, (2, 2), (2, 2),
+                                         name='up')(x1)
         else:
             x1 = nn.ConvTranspose(self.skip_channels, (2,) * self.dim,
                                   strides=(2,) * self.dim, padding='VALID',
@@ -132,6 +161,14 @@ class UNet2D5DSBN(nn.Module):
     # [network] pallas_fused: route eval DSBN+PReLU through the Pallas
     # kernel (numerics and checkpoints identical; perf-only switch)
     fused_eval: bool = False
+    # [network] flat25d: 2D levels run slice-wise via depth-1 3D kernels
+    # on the rank-5 tensor instead of folding depth into batch — same
+    # math, same parameter tree. MEASURED SLOWER on v5e (0.156 vs 0.109
+    # s/step train, 3.15 vs 3.71 vol/s serving, BASELINE.md round 4):
+    # XLA's kernel-depth-1 3D conv lowering loses more than the
+    # fold/unfold layout copies (~16% of the step) cost. Kept as a
+    # documented lever with a parity test; default stays folded.
+    flat25d: bool = False
 
     @nn.compact
     def __call__(self, x, domain_label=0, train: bool = False,
@@ -145,17 +182,18 @@ class UNet2D5DSBN(nn.Module):
         args = (domain_label, train, use_dropout)
         nd = self.num_domains
         fe = self.fused_eval
+        fl = self.flat25d
 
-        x0, x0_d = DownBlock(ft[0], nd, dims[0], dp[0], True, fe, name='block0')(x, *args)
-        x1, x1_d = DownBlock(ft[1], nd, dims[1], dp[1], True, fe, name='block1')(x0_d, *args)
-        x2, x2_d = DownBlock(ft[2], nd, dims[2], dp[2], True, fe, name='block2')(x1_d, *args)
-        x3, x3_d = DownBlock(ft[3], nd, dims[3], dp[3], True, fe, name='block3')(x2_d, *args)
-        x4, _ = DownBlock(ft[4], nd, dims[4], dp[4], False, fe, name='block4')(x3_d, *args)
+        x0, x0_d = DownBlock(ft[0], nd, dims[0], dp[0], True, fe, fl, name='block0')(x, *args)
+        x1, x1_d = DownBlock(ft[1], nd, dims[1], dp[1], True, fe, fl, name='block1')(x0_d, *args)
+        x2, x2_d = DownBlock(ft[2], nd, dims[2], dp[2], True, fe, fl, name='block2')(x1_d, *args)
+        x3, x3_d = DownBlock(ft[3], nd, dims[3], dp[3], True, fe, fl, name='block3')(x2_d, *args)
+        x4, _ = DownBlock(ft[4], nd, dims[4], dp[4], False, fe, fl, name='block4')(x3_d, *args)
 
-        y = UpBlock(ft[3], ft[3], nd, dims[3], dp[3], self.bilinear, fe, name='up1')(x4, x3, *args)
-        y = UpBlock(ft[2], ft[2], nd, dims[2], dp[2], self.bilinear, fe, name='up2')(y, x2, *args)
-        y = UpBlock(ft[1], ft[1], nd, dims[1], dp[1], self.bilinear, fe, name='up3')(y, x1, *args)
-        y = UpBlock(ft[0], ft[0], nd, dims[0], dp[0], self.bilinear, fe, name='up4')(y, x0, *args)
+        y = UpBlock(ft[3], ft[3], nd, dims[3], dp[3], self.bilinear, fe, fl, name='up1')(x4, x3, *args)
+        y = UpBlock(ft[2], ft[2], nd, dims[2], dp[2], self.bilinear, fe, fl, name='up2')(y, x2, *args)
+        y = UpBlock(ft[1], ft[1], nd, dims[1], dp[1], self.bilinear, fe, fl, name='up3')(y, x1, *args)
+        y = UpBlock(ft[0], ft[0], nd, dims[0], dp[0], self.bilinear, fe, fl, name='up4')(y, x0, *args)
 
         logits = nn.Conv(self.class_num, (1, 3, 3), padding='SAME',
                          name='out_conv')(y)

@@ -105,6 +105,41 @@ def test_unet2d_handles_25d_input():
     assert y.shape == (1, 6, 32, 32, 2)
 
 
+def test_flat25d_matches_folded_lowering():
+    """[network] flat25d (depth-1 slice convs, default) and the folded
+    N*D-reshape lowering are the same math on the same parameter tree:
+    identical init, identical forward logits and batch_stats, both train
+    and eval, both upsampling modes."""
+    import jax.tree_util as jtu
+    from fpl_plus_tpu.models.registry import create_network, init_network
+    cfg = {'net_type': 'UNet2D5_dsbn', 'num_domains': 2, 'class_num': 2,
+           'in_chns': 1, 'feature_chns': [4, 8, 8, 8, 8],
+           'conv_dims': [2, 2, 3, 3, 3], 'dropout': [0.0] * 5}
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.normal(size=(2, 8, 32, 32, 1)).astype(np.float32))
+    for bilinear in (False, True):
+        c = dict(cfg, bilinear=bilinear)
+        m_flat = create_network(dict(c, flat25d=True))
+        m_fold = create_network(dict(c, flat25d=False))
+        p1, b1 = init_network(m_flat, c, seed=3)
+        p2, _ = init_network(m_fold, c, seed=3)
+        for (k, a), (_, b) in zip(jtu.tree_leaves_with_path(p1),
+                                  jtu.tree_leaves_with_path(p2)):
+            assert a.shape == b.shape, jtu.keystr(k)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for train in (False, True):
+            o1, v1 = m_flat.apply({'params': p1, 'batch_stats': b1}, x, 1,
+                                  train, mutable=['batch_stats'])
+            o2, v2 = m_fold.apply({'params': p1, 'batch_stats': b1}, x, 1,
+                                  train, mutable=['batch_stats'])
+            np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                       atol=2e-5, rtol=1e-5)
+            for (k, a), (_, b) in zip(jtu.tree_leaves_with_path(v1),
+                                      jtu.tree_leaves_with_path(v2)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=1e-5)
+
+
 def test_multi_output_nets():
     cfg = {'net_type': 'UNet2D_URPC', 'class_num': 2, 'in_chns': 1,
            'feature_chns': [4, 8, 16, 32], 'dropout': [0, 0, 0, 0.2],

@@ -34,7 +34,7 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SEEDS = (1, 2, 3)
-ITERS = 600
+ITERS = 300
 ITER_VALID = 50
 
 
