@@ -290,6 +290,79 @@ def transplant_params(dst: Dict, src: Dict, path: str = '') -> int:
     return n
 
 
+def _conv_kernel_to_torch(w: np.ndarray) -> np.ndarray:
+    """flax conv kernel [*k, in, out] -> torch [out, in, *k]."""
+    k = w.ndim - 2
+    return np.transpose(w, (k + 1, k) + tuple(range(k)))
+
+
+def _conv_transpose_kernel_to_torch(w: np.ndarray) -> np.ndarray:
+    """flax ConvTranspose kernel [*k, in, out] -> torch [in, out, *k]
+    (inverse of _conv_transpose_kernel: transpose back, then un-flip)."""
+    k = w.ndim - 2
+    w = np.transpose(w, (k, k + 1) + tuple(range(k)))
+    return np.flip(w, axis=tuple(range(2, w.ndim))).copy()
+
+
+def convert_to_reference_state_dict(params: Dict, batch_stats: Dict,
+                                    net_cfg: Dict) -> Dict[str, np.ndarray]:
+    """REVERSE conversion: fpl_plus_tpu UNet2D5_dsbn variables -> the
+    reference torch net's state_dict entries (numpy values), the exact
+    inverse of :func:`convert_unet2d5_dsbn`. Only the keys the reference
+    forward actually uses are emitted (the torch net also allocates unused
+    other-dimension copies — merge into a full state_dict taken from an
+    instantiated reference net before ``load_state_dict``)."""
+    dims = list(net_cfg['conv_dims'])
+    nd = net_cfg.get('num_domains', 2)
+    bilinear = net_cfg.get('bilinear', False)
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_block(prefix, p, s, dim):
+        d = '{0}d'.format(dim)
+        for j in (1, 2):
+            conv = p['conv{0}'.format(j)]
+            sd['{0}.conv{1}_{2}.weight'.format(prefix, d, j)] = \
+                _conv_kernel_to_torch(np.asarray(conv['kernel']))
+            sd['{0}.conv{1}_{2}.bias'.format(prefix, d, j)] = \
+                np.asarray(conv['bias'])
+            bn_p, bn_s = p['bn{0}'.format(j)], s['bn{0}'.format(j)]
+            for dom in range(nd):
+                base = '{0}.bn{1}{2}.bns.{3}'.format(prefix, d, j, dom)
+                sd[base + '.weight'] = np.asarray(bn_p['scale'][dom])
+                sd[base + '.bias'] = np.asarray(bn_p['bias'][dom])
+                sd[base + '.running_mean'] = np.asarray(bn_s['mean'][dom])
+                sd[base + '.running_var'] = np.asarray(bn_s['var'][dom])
+                sd[base + '.num_batches_tracked'] = np.asarray(0)
+            sd['{0}.relu_{1}.weight'.format(prefix, j)] = \
+                np.asarray(p['act{0}'.format(j)]['alpha']).reshape(1)
+
+    for i in range(5):
+        put_block('block{0}.conv'.format(i),
+                  params['block{0}'.format(i)]['conv'],
+                  batch_stats['block{0}'.format(i)]['conv'], dims[i])
+    for j, lvl in enumerate([3, 2, 1, 0]):
+        name = 'up{0}'.format(j + 1)
+        d = '{0}d'.format(dims[lvl])
+        p_up = params[name]
+        if bilinear:
+            sd['{0}.conv{1}.weight'.format(name, d)] = \
+                _conv_kernel_to_torch(np.asarray(p_up['proj']['kernel']))
+            sd['{0}.conv{1}.bias'.format(name, d)] = \
+                np.asarray(p_up['proj']['bias'])
+        else:
+            sd['{0}.trans{1}.weight'.format(name, d)] = \
+                _conv_transpose_kernel_to_torch(
+                    np.asarray(p_up['up']['kernel']))
+            sd['{0}.trans{1}.bias'.format(name, d)] = \
+                np.asarray(p_up['up']['bias'])
+        put_block('{0}.conv'.format(name), p_up['conv'],
+                  batch_stats[name]['conv'], dims[lvl])
+    sd['out_conv.weight'] = _conv_kernel_to_torch(
+        np.asarray(params['out_conv']['kernel']))
+    sd['out_conv.bias'] = np.asarray(params['out_conv']['bias'])
+    return sd
+
+
 def convert_reference_checkpoint(pt_path: str, net_cfg: Dict,
                                  out_path: str) -> None:
     """Load a reference ``.pt`` checkpoint (torch, host-side) and save it as

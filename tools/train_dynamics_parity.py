@@ -162,9 +162,17 @@ def main():
         import dice_parity
         dice_parity.write_workspace(work)
         # strictly sequential: this host has ONE core — parallel runs only
-        # add contention (BASELINE.md host-pipeline note)
+        # add contention (BASELINE.md host-pipeline note). Completed sides
+        # (results CSV present) are skipped, so the study resumes cheaply
+        # after an interruption.
         for kind in ('ours', 'ref'):
             for s in SEEDS:
+                done = os.path.join(
+                    work, '{0}_s{1}'.format(kind, s), 'results',
+                    'parity_test_hrT2', 'test_tumor_dice_all.csv')
+                if os.path.exists(done):
+                    print('skip {0} s{1}: already complete'.format(kind, s))
+                    continue
                 p = launch(kind, s, work, ITERS)
                 assert p.wait() == 0, \
                     '{0} s{1} failed — see logs in {2}'.format(kind, s, work)
