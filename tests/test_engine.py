@@ -559,3 +559,66 @@ def test_static_grid_matches_bucketed(rng):
     static = Inferer(dict(base, infer_shape_bucket=0)).run(pred, (), img)
     np.testing.assert_allclose(np.asarray(static), np.asarray(bucketed),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_analytic_counters_match_accumulated(rng):
+    """``analytic_counters = True`` (round-4 default: closed-form
+    outer-product overlap counters, ``_analytic_counters``) is
+    voxel-identical to the legacy accumulated-counter program
+    (``analytic_counters = False``) across every tricky regime: window
+    overlap with clamp-duplicate starts, flip TTA under shape bucketing
+    (per-variant pad-shifted grids), static grids, multi-scale heads in
+    both ``multiscale_counter`` modes, batched serving, and the
+    mesh-sharded path."""
+    w_mat = rng.normal(size=(1, 2)).astype(np.float32)
+    base = {'sliding_window_enable': True, 'sliding_window_size': [4, 8, 8],
+            'sliding_window_stride': [3, 6, 5], 'tta_mode': 1,
+            'class_num': 2}
+    img = rng.normal(size=(1, 1, 11, 20, 17)).astype(np.float32)
+
+    def pair(cfg, **kw):
+        return (Inferer(dict(cfg), patch_chunk=3, **kw),
+                Inferer(dict(cfg, analytic_counters=False), patch_chunk=3,
+                        **kw))
+
+    # single volume: bucketed pads (depth 11 -> per-variant shifted
+    # counters) and static grids (trace-time constant counters)
+    for extra in ({}, {'infer_shape_bucket': 0}):
+        inf_a, inf_b = pair(dict(base, **extra))
+        a = inf_a.run(LinearPredictor(w_mat), None, img)
+        b = inf_b.run(LinearPredictor(w_mat), None, img)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+    # multi-scale heads, 50% overlap + clamped duplicate start (depth 9),
+    # in both counter modes
+    img9 = rng.normal(size=(1, 1, 9, 16, 16)).astype(np.float32)
+    for cmode in ('exact', 'reference'):
+        cfg = dict(base, sliding_window_stride=[2, 4, 4], tta_mode=0,
+                   multiscale_counter=cmode)
+        inf_a, inf_b = pair(cfg)
+        outs_a = inf_a.run(TwoScaleSubsample(w_mat), None, img9)
+        outs_b = inf_b.run(TwoScaleSubsample(w_mat), None, img9)
+        assert len(outs_a) == len(outs_b) == 2
+        for a, b in zip(outs_a, outs_b):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+    # batched serving (volume groups tile the per-variant counters)
+    imgs = rng.normal(size=(3, 1, 10, 20, 24)).astype(np.float32)
+    cfg = dict(base, sliding_window_size=[8, 16, 16],
+               sliding_window_stride=[4, 8, 8])
+    inf_a, inf_b = pair(cfg)
+    a = inf_a.run_batch(LinearPredictor(w_mat), (), imgs)
+    b = inf_b.run_batch(LinearPredictor(w_mat), (), imgs)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)
+
+    # mesh-sharded single-volume path (analytic counters are grid-global,
+    # computed outside the psum)
+    from fpl_plus_tpu.parallel.mesh import make_mesh
+    inf_a, inf_b = pair(base, mesh=make_mesh())
+    a = inf_a.run(LinearPredictor(w_mat), None, img)
+    b = inf_b.run(LinearPredictor(w_mat), None, img)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)
