@@ -15,6 +15,12 @@ Stages (each prints JSON lines; run with
   wall + XLA-counted flops, then a profiler trace whose top-k ops by
   self-time are summarized, then a stem micro-benchmark (1 vs 8 input
   channels on the first conv level).
+* D — DEVICE-side counter A/B (VERDICT r4 #2's literal criterion):
+  profiler-trace the analytic vs accumulated flagship serving programs
+  and report the median on-device module execution time per dispatch
+  (the "XLA Modules" lane of the chrome trace) — unlike wall vol/s this
+  is immune to tunnel phase and host load, so it measures the
+  program-side machinery cut directly.
 """
 import json
 import os
@@ -202,6 +208,83 @@ def stage_c(module, variables):
         emit(stage='C', micro='stem2d', in_c=in_c, sec=round(sec, 5))
 
 
+def _module_durations_us(trace_root):
+    """Median on-device duration (us) per XLA module execution, from the
+    chrome trace: events on 'XLA Modules' threads of a TPU device process
+    (one event per program dispatch; children on 'XLA Ops' are NOT summed,
+    so nesting cannot double-count)."""
+    import glob
+    import gzip
+
+    paths = glob.glob(os.path.join(
+        trace_root, 'plugins', 'profile', '*', '*.trace.json.gz'))
+    if not paths:
+        return {}
+    with gzip.open(sorted(paths)[-1], 'rt') as f:
+        data = json.load(f)
+    events = data['traceEvents']
+    proc_name = {}
+    thread_name = {}
+    for e in events:
+        if e.get('ph') == 'M' and e.get('name') == 'process_name':
+            proc_name[e['pid']] = e['args']['name']
+        if e.get('ph') == 'M' and e.get('name') == 'thread_name':
+            thread_name[(e['pid'], e['tid'])] = e['args']['name']
+    per_module = {}
+    for e in events:
+        if e.get('ph') != 'X':
+            continue
+        pid, tid = e.get('pid'), e.get('tid')
+        if 'XLA Modules' not in thread_name.get((pid, tid), ''):
+            continue
+        if 'TPU' not in proc_name.get(pid, '') \
+                and 'device' not in proc_name.get(pid, '').lower():
+            continue
+        per_module.setdefault(e['name'].split('(')[0], []).append(
+            float(e['dur']))
+    return {name: {'median_us': round(float(np.median(durs)), 1),
+                   'n': len(durs)}
+            for name, durs in per_module.items()}
+
+
+def stage_d(module, variables, img):
+    import jax
+    import jax.numpy as jnp
+    from fpl_plus_tpu.engine.infer import Inferer
+
+    def predictor(ctx, x):
+        out = module.apply(ctx[0], x, ctx[1], False)
+        return out[0] if isinstance(out, (tuple, list)) else out
+
+    base = {'sliding_window_enable': True,
+            'sliding_window_size': [28, 128, 128],
+            'sliding_window_stride': [28, 128, 128],
+            'tta_mode': 1, 'class_num': 2, 'output_mode': 'label'}
+    ctx = (variables, jnp.int32(1))
+    arms = {'analytic': Inferer(dict(base), patch_chunk=2),
+            'accum': Inferer(dict(base, analytic_counters=False),
+                             patch_chunk=2)}
+    out = {}
+    for name, inf in arms.items():
+        np.asarray(inf.run(predictor, ctx, img))   # warm/compile
+        trace_dir = '/tmp/r4trace_d_' + name
+        jax.profiler.start_trace(trace_dir)
+        for _ in range(5):
+            np.asarray(inf.run(predictor, ctx, img))
+        jax.profiler.stop_trace()
+        mods = _module_durations_us(trace_dir)
+        emit(stage='D', arm=name, modules=mods)
+        swmods = {k: v for k, v in mods.items() if 'sliding_window' in k}
+        if swmods:
+            out[name] = sum(v['median_us'] for v in swmods.values())
+    if len(out) == 2:
+        emit(stage='D', config='flagship label-mode serving, device time',
+             analytic_us_per_volume=round(out['analytic'], 1),
+             accum_us_per_volume=round(out['accum'], 1),
+             device_program_cut_pct=round(
+                 100 * (1 - out['analytic'] / out['accum']), 1))
+
+
 def main():
     stages = set((sys.argv[1] if len(sys.argv) > 1 else 'APC').upper())
     import jax
@@ -214,6 +297,8 @@ def main():
         stage_p(module, variables, img)
     if 'C' in stages:
         stage_c(module, variables)
+    if 'D' in stages:
+        stage_d(module, variables, img)
 
 
 if __name__ == '__main__':
