@@ -17,10 +17,15 @@ shape:
   ``V x chunk`` batch through the MXU instead of batch-1 calls;
 * patches are extracted on-device with ``vmap(dynamic_slice)`` (one H2D
   transfer of the volume per case, zero per-patch transfers);
-* overlap accumulation is a ``lax.scan`` over start chunks with
-  read-add-write ``dynamic_update_slice`` — deterministic ordering; nets
-  with multi-scale output lists accumulate every head at its own scaled
-  grid. Each scale keeps its own exact counter by default;
+* overlap accumulation: small grids unroll into straight-line
+  traced-start updates (XLA emits these in place, ~73 us/window on v5e);
+  large grids run a ``lax.scan`` over start chunks where each window is
+  placed by one-hot MXU contractions (``_matmul_place``) instead of
+  read-add-write carry updates (which lower to full-array select fusions
+  + carry copies; ``[testing] placement = update`` restores them as an
+  A/B lever) — deterministic ordering; nets with multi-scale output
+  lists accumulate every head at its own scaled grid. Each scale keeps
+  its own exact counter by default;
   ``[testing] multiscale_counter = reference`` restores the reference's
   n_heads-scaled, nearest-interpolated full-res counter division
   (``_overlap_divide``) — the two agree up to a global logit scale when
@@ -106,6 +111,38 @@ def _unflip_mean(outputs: jnp.ndarray, tta: bool) -> jnp.ndarray:
 
 def _as_list(out):
     return list(out) if isinstance(out, (tuple, list)) else [out]
+
+
+def _matmul_place(patch: jnp.ndarray, s0, out_shape) -> jnp.ndarray:
+    """Embed ``patch`` ``[*win, K]`` at TRACED start ``s0`` inside a zero
+    ``[*out_shape, K]`` tensor via per-dim one-hot contractions.
+
+    Traced-start ``dynamic_update_slice`` on a large accumulator lowers to
+    a full-array ``compare_select`` fusion on XLA:TPU — measured ~1.1 ms
+    PER WINDOW on v5e (stage E trace, BASELINE.md round 4): 73 ms of the
+    171 ms flagship serving program, the single largest op class. The same
+    placement expressed as matmuls — for each spatial dim a ``[X_d, W_d]``
+    one-hot matrix ``M[x, i] = (x == s0 + i)`` contracted against the
+    patch — rides the MXU at ~1.7 GFLOP/window instead.
+
+    BIT-EXACT by construction: every output element is ``1.0 * v`` (the
+    one-hot row has at most one nonzero) or ``0.0``; ``Precision.HIGHEST``
+    keeps the f32 operand unrounded on the MXU (the default bf16x3 pass
+    would round ``v`` to 16 mantissa bits when the other operand's low
+    split is zero). The caller adds the placed tensor into the
+    accumulator — the same f32 add, in the same order, as the
+    read-add-write update it replaces."""
+    dim = len(out_shape)
+    out = patch
+    for d in range(dim):
+        x_d, w_d = out_shape[d], patch.shape[d]
+        one_hot = (jax.lax.broadcasted_iota(jnp.int32, (x_d, w_d), 0)
+                   == s0[d] + jax.lax.broadcasted_iota(
+                       jnp.int32, (x_d, w_d), 1)).astype(patch.dtype)
+        out = jnp.moveaxis(
+            jnp.tensordot(one_hot, out, axes=(1, d),
+                          precision=jax.lax.Precision.HIGHEST), 0, d)
+    return out
 
 
 def _probe_heads(predictor, ctx, variants, window, chunk):
@@ -206,7 +243,7 @@ def _analytic_counters(dim_starts, window, head_windows, out_shapes,
 @partial(jax.jit, static_argnames=('predictor', 'window', 'chunk',
                                    'unroll_accum', 'tta_v',
                                    'static_starts', 'static_weights',
-                                   'accumulate_counters'))
+                                   'accumulate_counters', 'placement'))
 def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
                         starts: jnp.ndarray, weights: jnp.ndarray,
                         window: Tuple[int, ...], chunk: int,
@@ -214,7 +251,8 @@ def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
                         unroll_accum: bool = False,
                         tta_v: Optional[int] = None,
                         static_starts=None, static_weights=None,
-                        accumulate_counters: bool = True):
+                        accumulate_counters: bool = True,
+                        placement: str = 'matmul'):
     """Core program: volume_v [V, *img, C], starts [P, dim] (P % chunk == 0),
     ``weights`` [P] scaling each window's contribution to output AND counter
     (0 for the duplicate starts that round out the last chunk — a nonzero
@@ -312,6 +350,18 @@ def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
                                     win + (acc.shape[-1],))
         return jax.lax.dynamic_update_slice(acc, cur + patch,
                                             tuple(s0) + (0,))
+
+    def add_at_scan(acc, s0, patch, win):
+        # SCAN-carry accumulation: a traced-start read-add-write update on
+        # the carry lowers to full-array select fusions + double-buffer
+        # copies (the round-2 trace's dominant machinery at overlapping
+        # grids); one-hot matmul placement (``_matmul_place``) rides the
+        # MXU instead and adds full-tensor (fusable, no carry aliasing
+        # hazard). Straight-line (unrolled) updates stay direct — XLA
+        # emits those in place (measured 73 us/window, stage E trace).
+        if placement == 'matmul':
+            return acc + _matmul_place(patch, s0, acc.shape[:-1])
+        return add_at(acc, s0, patch, win)
 
     def extract_chunk(starts_c):
         """Static unroll over (variant, chunk) — scalar-start dynamic
@@ -415,8 +465,8 @@ def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
             for v in range(v_num):
                 o_v = outs[i][v]
                 for j in range(chunk):
-                    o_v = add_at(o_v, scaled(starts_c[j] + offs[v], i),
-                                 pred[v, j] * weights_c[j], windows[i])
+                    o_v = add_at_scan(o_v, scaled(starts_c[j] + offs[v], i),
+                                      pred[v, j] * weights_c[j], windows[i])
                 outs_v.append(o_v)
             new_outs.append(outs_v)
 
@@ -427,16 +477,16 @@ def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
                 for v in range(tta_n):
                     c_v = cnts[i][v]
                     for j in range(chunk):
-                        c_v = add_at(c_v, scaled(starts_c[j] + offs[v], i),
-                                     ones_wins[i] * weights_c[j],
-                                     windows[i])
+                        c_v = add_at_scan(
+                            c_v, scaled(starts_c[j] + offs[v], i),
+                            ones_wins[i] * weights_c[j], windows[i])
                     cnts_v.append(c_v)
                 new_cnts.append(cnts_v)
             else:
                 c = cnts[i]
                 for j in range(chunk):
-                    c = add_at(c, scaled(starts_c[j], i),
-                               ones_wins[i] * weights_c[j], windows[i])
+                    c = add_at_scan(c, scaled(starts_c[j], i),
+                                    ones_wins[i] * weights_c[j], windows[i])
                 new_cnts.append(c)
         return (new_outs, new_cnts if accumulate_counters else None), None
 
@@ -540,7 +590,8 @@ def _finalize(out, output_mode: str):
 @partial(jax.jit, static_argnames=('predictor', 'window', 'chunk', 'tta',
                                    'output_mode', 'unroll_accum',
                                    'static_starts', 'static_weights',
-                                   'counter_mode', 'dim_starts'))
+                                   'counter_mode', 'dim_starts',
+                                   'placement'))
 def _sliding_window_full(predictor, ctx, vol: jnp.ndarray,
                          starts: jnp.ndarray, weights: jnp.ndarray,
                          window: Tuple[int, ...],
@@ -549,7 +600,7 @@ def _sliding_window_full(predictor, ctx, vol: jnp.ndarray,
                          unroll_accum: bool = False,
                          static_starts=None, static_weights=None,
                          counter_mode: str = 'exact',
-                         dim_starts=None):
+                         dim_starts=None, placement: str = 'matmul'):
     """One-dispatch program per volume: flip variants, sliding-window
     accumulation, overlap division, TTA un-flip averaging and the output
     head all fused — a single host round-trip matters on high-latency
@@ -566,7 +617,8 @@ def _sliding_window_full(predictor, ctx, vol: jnp.ndarray,
                                      weights, window, chunk, pads,
                                      unroll_accum, None,
                                      static_starts, static_weights,
-                                     accumulate_counters=dim_starts is None)
+                                     accumulate_counters=dim_starts is None,
+                                     placement=placement)
     if dim_starts is not None:
         cnts = _counters_for(predictor, ctx, variants, window, chunk,
                              dim_starts, pads)
@@ -577,7 +629,8 @@ def _sliding_window_full(predictor, ctx, vol: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=('predictor', 'window', 'chunk', 'tta',
                                    'output_mode', 'unroll_accum',
-                                   'counter_mode', 'dim_starts'))
+                                   'counter_mode', 'dim_starts',
+                                   'placement'))
 def _sliding_window_full_batch(predictor, ctx, vols: jnp.ndarray,
                                starts: jnp.ndarray, weights: jnp.ndarray,
                                window: Tuple[int, ...], chunk: int,
@@ -585,7 +638,7 @@ def _sliding_window_full_batch(predictor, ctx, vols: jnp.ndarray,
                                pads: Optional[jnp.ndarray] = None,
                                unroll_accum: bool = False,
                                counter_mode: str = 'exact',
-                               dim_starts=None):
+                               dim_starts=None, placement: str = 'matmul'):
     """Batched serving: N same-shape volumes [N, *img, C] in ONE program
     dispatch — the TTA variants of every volume stack into a single
     leading axis (v_num = N x V), so the per-dispatch/link latency that
@@ -598,7 +651,8 @@ def _sliding_window_full_batch(predictor, ctx, vols: jnp.ndarray,
     outs, cnts = _sliding_window_jit(predictor, ctx, variants, starts,
                                      weights, window, chunk, pads,
                                      unroll_accum, tta_v=v,
-                                     accumulate_counters=dim_starts is None)
+                                     accumulate_counters=dim_starts is None,
+                                     placement=placement)
     if dim_starts is not None:
         cnts = _counters_for(predictor, ctx, variants, window, chunk,
                              dim_starts, pads, tta_n=v)
@@ -614,7 +668,8 @@ def _sliding_window_full_batch(predictor, ctx, vols: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=('predictor', 'window', 'chunk', 'tta',
                                    'output_mode', 'mesh', 'unroll_accum',
-                                   'counter_mode', 'dim_starts'))
+                                   'counter_mode', 'dim_starts',
+                                   'placement'))
 def _sliding_window_full_sharded(predictor, ctx, vol: jnp.ndarray,
                                  starts: jnp.ndarray, weights: jnp.ndarray,
                                  window: Tuple[int, ...], chunk: int,
@@ -622,7 +677,7 @@ def _sliding_window_full_sharded(predictor, ctx, vol: jnp.ndarray,
                                  pads: Optional[jnp.ndarray] = None,
                                  unroll_accum: bool = False,
                                  counter_mode: str = 'exact',
-                                 dim_starts=None):
+                                 dim_starts=None, placement: str = 'matmul'):
     """Multi-device variant of ``_sliding_window_full``: the patch-start
     grid is sharded across the mesh with ``shard_map`` (spatial parallelism,
     SURVEY.md section 5.7) — every device accumulates its windows into a
@@ -645,7 +700,8 @@ def _sliding_window_full_sharded(predictor, ctx, vol: jnp.ndarray,
         outs, cnts = _sliding_window_jit(predictor, ctx_l, volume_v,
                                          starts_l, weights_l, window, chunk,
                                          pads_l, unroll_accum,
-                                         accumulate_counters=not analytic)
+                                         accumulate_counters=not analytic,
+                                         placement=placement)
         outs = [jax.lax.psum(o, axis) for o in outs]
         if analytic:
             return outs
@@ -792,6 +848,16 @@ class Inferer:
         # legacy accumulated-counter program — an A/B lever for perf
         # attribution on real hardware
         self.analytic_counters = config.get('analytic_counters', True)
+        # SCAN-path window placement: 'matmul' (one-hot contractions on
+        # the MXU, default — see _matmul_place) or 'update' (the legacy
+        # read-add-write carry updates, which lower to full-array select
+        # fusions + carry copies). Bit-identical outputs; an A/B lever
+        # like analytic_counters. Unrolled (straight-line) programs always
+        # use direct updates — XLA emits those in place.
+        self.placement = config.get('placement', 'matmul')
+        if self.placement not in ('matmul', 'update'):
+            raise ValueError('Undefined placement {0}'.format(
+                self.placement))
 
     def _resolve_sw(self, img_shape):
         """(use_sw, window, stride) with the reference clamps: window caps
@@ -994,21 +1060,24 @@ class Inferer:
                     jnp.asarray(pads, jnp.int32), repl)
                 # straight-line accumulation when each device's local
                 # update count is small (same rule as single-device)
-                unroll = (target // n_dev) * (4 if tta else 1) <= 256
+                unroll = ((target // n_dev) * (4 if tta else 1)
+                          <= self.config.get('infer_unroll_max', 256))
                 outs = _sliding_window_full_sharded(
                     predictor, jax.device_put(ctx, repl),
                     jax.device_put(vol, repl),
                     jax.device_put(jnp.asarray(starts), grid),
                     jax.device_put(jnp.asarray(weights), grid),
                     tuple(window), chunk, tta, device_mode, self.mesh,
-                    pads_arr, unroll, self.counter_mode, dims)
+                    pads_arr, unroll, self.counter_mode, dims,
+                    self.placement)
             else:
                 pads_arr = None if pads is None else jnp.asarray(
                     pads, jnp.int32)
                 # straight-line (in-place) accumulation when the total
                 # update count is small; large grids keep the scan-carried
                 # accumulators (bounded program size)
-                unroll = target * (4 if tta else 1) <= 256
+                unroll = (target * (4 if tta else 1)
+                          <= self.config.get('infer_unroll_max', 256))
                 # bucketing off -> the program is per-shape anyway, so the
                 # window grid can be STATIC: true in-place aligned updates
                 # instead of select-lowered traced-offset ones
@@ -1022,7 +1091,8 @@ class Inferer:
                                             tuple(window), chunk, tta,
                                             device_mode, pads_arr,
                                             unroll, st_s, st_w,
-                                            self.counter_mode, dims)
+                                            self.counter_mode, dims,
+                                            self.placement)
             if pads is not None and any(pads):
                 outs = self._crop_margins(outs, img_shape, true_shape, 0)
         return self._finish_outputs(outs, batched=False)
@@ -1140,7 +1210,7 @@ class Inferer:
         outs = _sliding_window_full_batch(
             predictor, ctx, vols, jnp.asarray(starts),
             jnp.asarray(weights), tuple(window), chunk, tta, device_mode,
-            pads_arr, unroll, self.counter_mode, dims)
+            pads_arr, unroll, self.counter_mode, dims, self.placement)
         if pads is not None and any(pads):
             outs = self._crop_margins(outs, vols.shape[1:-1],
                                       tuple(img_shape), 1)

@@ -561,6 +561,70 @@ def test_static_grid_matches_bucketed(rng):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_matmul_placement_matches_update(rng):
+    """``placement = matmul`` (round-4 default for the SCAN accumulation
+    path: one-hot MXU contractions for traced-start window placement,
+    ``_matmul_place``) is BIT-identical to the legacy read-add-write carry
+    update (``placement = update``): each placed element is ``1.0 * v`` or
+    ``0.0`` at ``Precision.HIGHEST`` and the accumulator add order is
+    unchanged. ``infer_unroll_max = 0`` forces the scan path (unrolled
+    programs always use direct updates, so both arms would be the same
+    program). Covered regimes mirror the analytic-counter A/B: overlap +
+    clamp duplicates, flip TTA under bucketing, multi-scale heads, the
+    accumulated-counter fallback, batched serving, the mesh-sharded path
+    — plus scan-vs-unroll equality under the default config."""
+    w_mat = rng.normal(size=(1, 2)).astype(np.float32)
+    base = {'sliding_window_enable': True, 'sliding_window_size': [4, 8, 8],
+            'sliding_window_stride': [3, 6, 5], 'tta_mode': 1,
+            'class_num': 2, 'infer_unroll_max': 0}
+    img = rng.normal(size=(1, 1, 11, 20, 17)).astype(np.float32)
+
+    def pair(cfg, **kw):
+        return (Inferer(dict(cfg), patch_chunk=3, **kw),
+                Inferer(dict(cfg, placement='update'), patch_chunk=3, **kw))
+
+    # single volume, bucketed traced grid; plus the accumulated-counter
+    # fallback (counter increments also route through the scan placement)
+    for extra in ({}, {'analytic_counters': False}):
+        inf_a, inf_b = pair(dict(base, **extra))
+        a = inf_a.run(LinearPredictor(w_mat), None, img)
+        b = inf_b.run(LinearPredictor(w_mat), None, img)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # the matmul-placed scan equals the default unrolled program too
+    inf_unroll = Inferer(dict(base, infer_unroll_max=256), patch_chunk=3)
+    u = inf_unroll.run(LinearPredictor(w_mat), None, img)
+    a = pair(base)[0].run(LinearPredictor(w_mat), None, img)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(u),
+                               rtol=1e-5, atol=1e-6)
+
+    # multi-scale heads, 50% overlap + clamped duplicate start
+    img9 = rng.normal(size=(1, 1, 9, 16, 16)).astype(np.float32)
+    cfg = dict(base, sliding_window_stride=[2, 4, 4], tta_mode=0)
+    inf_a, inf_b = pair(cfg)
+    outs_a = inf_a.run(TwoScaleSubsample(w_mat), None, img9)
+    outs_b = inf_b.run(TwoScaleSubsample(w_mat), None, img9)
+    assert len(outs_a) == len(outs_b) == 2
+    for a, b in zip(outs_a, outs_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # batched serving
+    imgs = rng.normal(size=(3, 1, 10, 20, 24)).astype(np.float32)
+    cfg = dict(base, sliding_window_size=[8, 16, 16],
+               sliding_window_stride=[4, 8, 8])
+    inf_a, inf_b = pair(cfg)
+    a = inf_a.run_batch(LinearPredictor(w_mat), (), imgs)
+    b = inf_b.run_batch(LinearPredictor(w_mat), (), imgs)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # mesh-sharded single-volume path
+    from fpl_plus_tpu.parallel.mesh import make_mesh
+    inf_a, inf_b = pair(base, mesh=make_mesh())
+    a = inf_a.run(LinearPredictor(w_mat), None, img)
+    b = inf_b.run(LinearPredictor(w_mat), None, img)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_analytic_counters_match_accumulated(rng):
     """``analytic_counters = True`` (round-4 default: closed-form
     outer-product overlap counters, ``_analytic_counters``) is

@@ -247,6 +247,148 @@ def _module_durations_us(trace_root):
             for name, durs in per_module.items()}
 
 
+def _op_totals_us(trace_root, top_k=18):
+    """Aggregate on-device op self-time from the chrome trace's 'XLA Ops'
+    lane (TPU device process): events grouped by digit-stripped op name,
+    summed over the whole trace. The lane is flat (one event per op
+    execution), so sums equal device-busy time. Returns
+    (total_us, [(name, us, count)] top_k by time)."""
+    import glob
+    import gzip
+    import re
+
+    paths = glob.glob(os.path.join(
+        trace_root, 'plugins', 'profile', '*', '*.trace.json.gz'))
+    if not paths:
+        return 0.0, []
+    with gzip.open(sorted(paths)[-1], 'rt') as f:
+        data = json.load(f)
+    events = data['traceEvents']
+    proc_name, thread_name = {}, {}
+    for e in events:
+        if e.get('ph') == 'M' and e.get('name') == 'process_name':
+            proc_name[e['pid']] = e['args']['name']
+        if e.get('ph') == 'M' and e.get('name') == 'thread_name':
+            thread_name[(e['pid'], e['tid'])] = e['args']['name']
+    agg = {}
+    total = 0.0
+    for e in events:
+        if e.get('ph') != 'X':
+            continue
+        pid, tid = e.get('pid'), e.get('tid')
+        if 'XLA Ops' not in thread_name.get((pid, tid), ''):
+            continue
+        if 'TPU' not in proc_name.get(pid, '') \
+                and 'device' not in proc_name.get(pid, '').lower():
+            continue
+        name = re.sub(r'[.\d]+$', '', e['name'])
+        dur = float(e['dur'])
+        total += dur
+        us, n = agg.get(name, (0.0, 0))
+        agg[name] = (us + dur, n + 1)
+    top = sorted(((k, v[0], v[1]) for k, v in agg.items()),
+                 key=lambda t: -t[1])[:top_k]
+    return total, [(k, round(us, 0), n) for k, us, n in top]
+
+
+def stage_e(module, variables, img):
+    """Per-op device-time breakdown of the flagship serving program,
+    f32 vs bf16 arms — decides whether the 171 ms device program (stage D)
+    is conv-bound (bf16 is the lever) or placement/machinery-bound."""
+    import jax
+    import jax.numpy as jnp
+    from fpl_plus_tpu.engine.infer import Inferer
+    from fpl_plus_tpu.utils.precision import cast_infer_variables
+
+    def predictor(ctx, x):
+        out = module.apply(ctx[0], x, ctx[1], False)
+        return out[0] if isinstance(out, (tuple, list)) else out
+
+    base = {'sliding_window_enable': True,
+            'sliding_window_size': [28, 128, 128],
+            'sliding_window_stride': [28, 128, 128],
+            'tta_mode': 1, 'class_num': 2, 'output_mode': 'label'}
+    arms = {
+        'f32': (Inferer(dict(base), patch_chunk=2),
+                (variables, jnp.int32(1))),
+        'bf16': (Inferer(dict(base, precision='bfloat16'), patch_chunk=2),
+                 (cast_infer_variables(variables, 'bfloat16'),
+                  jnp.int32(1))),
+    }
+    n_rep = 5
+    for name, (inf, ctx) in arms.items():
+        t0 = time.time()
+        np.asarray(inf.run(predictor, ctx, img))   # warm/compile
+        emit(stage='E', arm=name, event='compiled',
+             sec=round(time.time() - t0, 1))
+        trace_dir = '/tmp/r4trace_e_' + name
+        jax.profiler.start_trace(trace_dir)
+        for _ in range(n_rep):
+            np.asarray(inf.run(predictor, ctx, img))
+        jax.profiler.stop_trace()
+        mods = _module_durations_us(trace_dir)
+        total, top = _op_totals_us(trace_dir)
+        emit(stage='E', arm=name, modules=mods,
+             device_busy_us_per_volume=round(total / n_rep, 0),
+             top_ops_us_total=[{'op': k, 'us': us, 'n': n}
+                               for k, us, n in top])
+
+
+def stage_f(module, variables):
+    """Scan-path placement A/B (round-4 `placement` lever): a LARGE
+    overlapping window grid (stride = window/2, 100 windows x 4 TTA = 400
+    updates > unroll cap) runs the lax.scan accumulation path, where
+    traced-start carry updates lower to select fusions + carry copies —
+    vs one-hot matmul placement (_matmul_place). Reports wall vol/s and
+    the traced device time per volume for both arms."""
+    import jax
+    import jax.numpy as jnp
+    from fpl_plus_tpu.engine.infer import Inferer
+
+    def predictor(ctx, x):
+        out = module.apply(ctx[0], x, ctx[1], False)
+        return out[0] if isinstance(out, (tuple, list)) else out
+
+    img = np.random.RandomState(1).normal(
+        size=(1, 1, 64, 224, 320)).astype(np.float32)
+    base = {'sliding_window_enable': True,
+            'sliding_window_size': [28, 128, 128],
+            'sliding_window_stride': [14, 64, 64],
+            'tta_mode': 1, 'class_num': 2, 'output_mode': 'label'}
+    ctx = (variables, jnp.int32(1))
+    arms = {'matmul': Inferer(dict(base), patch_chunk=2),
+            'update': Inferer(dict(base, placement='update'),
+                              patch_chunk=2)}
+    for name, inf in arms.items():
+        t0 = time.time()
+        np.asarray(inf.run(predictor, ctx, img))
+        emit(stage='F', arm=name, event='compiled',
+             sec=round(time.time() - t0, 1))
+    out = {}
+    for name, inf in arms.items():
+        vps = pipeline_vps(inf, predictor, ctx, img, n_rep=4)
+        trace_dir = '/tmp/r4trace_f_' + name
+        jax.profiler.start_trace(trace_dir)
+        for _ in range(3):
+            np.asarray(inf.run(predictor, ctx, img))
+        jax.profiler.stop_trace()
+        mods = _module_durations_us(trace_dir)
+        total, top = _op_totals_us(trace_dir, top_k=8)
+        sw = sum(v['median_us'] for k, v in mods.items()
+                 if 'sliding_window' in k)
+        out[name] = sw
+        emit(stage='F', arm=name, wall_vps=round(vps, 3),
+             device_us_per_volume=round(sw, 1),
+             top_ops_us_total=[{'op': k, 'us': us, 'n': n}
+                               for k, us, n in top])
+    if len(out) == 2 and out['update']:
+        emit(stage='F', config='overlap grid 100 windows, scan path',
+             matmul_us=round(out['matmul'], 1),
+             update_us=round(out['update'], 1),
+             device_program_cut_pct=round(
+                 100 * (1 - out['matmul'] / out['update']), 1))
+
+
 def stage_d(module, variables, img):
     import jax
     import jax.numpy as jnp
@@ -299,6 +441,10 @@ def main():
         stage_c(module, variables)
     if 'D' in stages:
         stage_d(module, variables, img)
+    if 'E' in stages:
+        stage_e(module, variables, img)
+    if 'F' in stages:
+        stage_f(module, variables)
 
 
 if __name__ == '__main__':
