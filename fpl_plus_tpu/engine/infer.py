@@ -19,13 +19,13 @@ shape:
   transfer of the volume per case, zero per-patch transfers);
 * overlap accumulation: small grids unroll into straight-line
   traced-start updates (XLA emits these in place, ~73 us/window on v5e);
-  large grids run a ``lax.scan`` over start chunks where each window is
-  placed by one-hot MXU contractions (``_matmul_place``) instead of
-  read-add-write carry updates (which lower to full-array select fusions
-  + carry copies; ``[testing] placement = update`` restores them as an
-  A/B lever) — deterministic ordering; nets with multi-scale output
-  lists accumulate every head at its own scaled grid. Each scale keeps
-  its own exact counter by default;
+  large grids run a ``lax.scan`` over start chunks with read-add-write
+  carry updates (measured ~2% of device time — the program is conv-bound;
+  ``[testing] placement = matmul`` swaps in one-hot MXU contractions,
+  ``_matmul_place``, bit-identical but a measured NEGATIVE result on
+  v5e) — deterministic ordering; nets with multi-scale output lists
+  accumulate every head at its own scaled grid. Each scale keeps its own
+  exact counter by default;
   ``[testing] multiscale_counter = reference`` restores the reference's
   n_heads-scaled, nearest-interpolated full-res counter division
   (``_overlap_divide``) — the two agree up to a global logit scale when
@@ -115,15 +115,10 @@ def _as_list(out):
 
 def _matmul_place(patch: jnp.ndarray, s0, out_shape) -> jnp.ndarray:
     """Embed ``patch`` ``[*win, K]`` at TRACED start ``s0`` inside a zero
-    ``[*out_shape, K]`` tensor via per-dim one-hot contractions.
-
-    Traced-start ``dynamic_update_slice`` on a large accumulator lowers to
-    a full-array ``compare_select`` fusion on XLA:TPU — measured ~1.1 ms
-    PER WINDOW on v5e (stage E trace, BASELINE.md round 4): 73 ms of the
-    171 ms flagship serving program, the single largest op class. The same
-    placement expressed as matmuls — for each spatial dim a ``[X_d, W_d]``
-    one-hot matrix ``M[x, i] = (x == s0 + i)`` contracted against the
-    patch — rides the MXU at ~1.7 GFLOP/window instead.
+    ``[*out_shape, K]`` tensor via per-dim one-hot contractions: for each
+    spatial dim a ``[X_d, W_d]`` one-hot matrix ``M[x, i] = (x == s0 + i)``
+    contracted against the patch — placement as matmul on the MXU
+    (~1.7 GFLOP/window at the flagship shapes).
 
     BIT-EXACT by construction: every output element is ``1.0 * v`` (the
     one-hot row has at most one nonzero) or ``0.0``; ``Precision.HIGHEST``
@@ -131,7 +126,14 @@ def _matmul_place(patch: jnp.ndarray, s0, out_shape) -> jnp.ndarray:
     would round ``v`` to 16 mantissa bits when the other operand's low
     split is zero). The caller adds the placed tensor into the
     accumulator — the same f32 add, in the same order, as the
-    read-add-write update it replaces."""
+    read-add-write update it replaces.
+
+    Status: a measured NEGATIVE result on v5e (r4_tpu_measure stage F,
+    100-window overlap grid in the scan path: -0.8% device time, 30x the
+    compile wall) — current XLA:TPU already lowers scan-carry traced
+    updates to ~2% of the conv-bound program. Off by default
+    (``[testing] placement = update``); kept behind the lever for future
+    XLA versions and as the template for contraction-based scatter."""
     dim = len(out_shape)
     out = patch
     for d in range(dim):
@@ -252,7 +254,7 @@ def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
                         tta_v: Optional[int] = None,
                         static_starts=None, static_weights=None,
                         accumulate_counters: bool = True,
-                        placement: str = 'matmul'):
+                        placement: str = 'update'):
     """Core program: volume_v [V, *img, C], starts [P, dim] (P % chunk == 0),
     ``weights`` [P] scaling each window's contribution to output AND counter
     (0 for the duplicate starts that round out the last chunk — a nonzero
@@ -352,13 +354,14 @@ def _sliding_window_jit(predictor, ctx, volume_v: jnp.ndarray,
                                             tuple(s0) + (0,))
 
     def add_at_scan(acc, s0, patch, win):
-        # SCAN-carry accumulation: a traced-start read-add-write update on
-        # the carry lowers to full-array select fusions + double-buffer
-        # copies (the round-2 trace's dominant machinery at overlapping
-        # grids); one-hot matmul placement (``_matmul_place``) rides the
-        # MXU instead and adds full-tensor (fusable, no carry aliasing
-        # hazard). Straight-line (unrolled) updates stay direct — XLA
-        # emits those in place (measured 73 us/window, stage E trace).
+        # SCAN-carry accumulation. 'matmul' places the window by one-hot
+        # MXU contractions (``_matmul_place``) instead of the
+        # read-add-write carry update — bit-identical, but a measured
+        # NEGATIVE result on v5e (stage F: -0.8% device time, 30x
+        # compile; current XLA:TPU lowers the carry updates to ~2% of
+        # the conv-bound program). Kept as an A/B lever for future XLA
+        # versions. Straight-line (unrolled) updates are always direct —
+        # XLA emits those in place (73 us/window, stage E trace).
         if placement == 'matmul':
             return acc + _matmul_place(patch, s0, acc.shape[:-1])
         return add_at(acc, s0, patch, win)
@@ -600,7 +603,7 @@ def _sliding_window_full(predictor, ctx, vol: jnp.ndarray,
                          unroll_accum: bool = False,
                          static_starts=None, static_weights=None,
                          counter_mode: str = 'exact',
-                         dim_starts=None, placement: str = 'matmul'):
+                         dim_starts=None, placement: str = 'update'):
     """One-dispatch program per volume: flip variants, sliding-window
     accumulation, overlap division, TTA un-flip averaging and the output
     head all fused — a single host round-trip matters on high-latency
@@ -638,7 +641,7 @@ def _sliding_window_full_batch(predictor, ctx, vols: jnp.ndarray,
                                pads: Optional[jnp.ndarray] = None,
                                unroll_accum: bool = False,
                                counter_mode: str = 'exact',
-                               dim_starts=None, placement: str = 'matmul'):
+                               dim_starts=None, placement: str = 'update'):
     """Batched serving: N same-shape volumes [N, *img, C] in ONE program
     dispatch — the TTA variants of every volume stack into a single
     leading axis (v_num = N x V), so the per-dispatch/link latency that
@@ -677,7 +680,7 @@ def _sliding_window_full_sharded(predictor, ctx, vol: jnp.ndarray,
                                  pads: Optional[jnp.ndarray] = None,
                                  unroll_accum: bool = False,
                                  counter_mode: str = 'exact',
-                                 dim_starts=None, placement: str = 'matmul'):
+                                 dim_starts=None, placement: str = 'update'):
     """Multi-device variant of ``_sliding_window_full``: the patch-start
     grid is sharded across the mesh with ``shard_map`` (spatial parallelism,
     SURVEY.md section 5.7) — every device accumulates its windows into a
@@ -848,13 +851,15 @@ class Inferer:
         # legacy accumulated-counter program — an A/B lever for perf
         # attribution on real hardware
         self.analytic_counters = config.get('analytic_counters', True)
-        # SCAN-path window placement: 'matmul' (one-hot contractions on
-        # the MXU, default — see _matmul_place) or 'update' (the legacy
-        # read-add-write carry updates, which lower to full-array select
-        # fusions + carry copies). Bit-identical outputs; an A/B lever
-        # like analytic_counters. Unrolled (straight-line) programs always
-        # use direct updates — XLA emits those in place.
-        self.placement = config.get('placement', 'matmul')
+        # SCAN-path window placement: 'update' (default — read-add-write
+        # carry updates) or 'matmul' (one-hot contractions on the MXU,
+        # see _matmul_place). Bit-identical outputs. Measured on v5e
+        # (r4_tpu_measure stage F, 100-window overlap grid): current
+        # XLA:TPU lowers the carry updates efficiently (~2% of device
+        # time), so matmul placement is a NEGATIVE result there (-0.8%
+        # device time, 30x the compile) — kept as an A/B lever for
+        # future XLA versions / other topologies.
+        self.placement = config.get('placement', 'update')
         if self.placement not in ('matmul', 'update'):
             raise ValueError('Undefined placement {0}'.format(
                 self.placement))

@@ -562,17 +562,18 @@ def test_static_grid_matches_bucketed(rng):
 
 
 def test_matmul_placement_matches_update(rng):
-    """``placement = matmul`` (round-4 default for the SCAN accumulation
-    path: one-hot MXU contractions for traced-start window placement,
-    ``_matmul_place``) is BIT-identical to the legacy read-add-write carry
-    update (``placement = update``): each placed element is ``1.0 * v`` or
+    """``placement = matmul`` (one-hot MXU contractions for traced-start
+    window placement in the SCAN accumulation path, ``_matmul_place`` — a
+    measured negative result on v5e, kept behind the lever) is
+    BIT-identical to the default read-add-write carry update
+    (``placement = update``): each placed element is ``1.0 * v`` or
     ``0.0`` at ``Precision.HIGHEST`` and the accumulator add order is
     unchanged. ``infer_unroll_max = 0`` forces the scan path (unrolled
     programs always use direct updates, so both arms would be the same
     program). Covered regimes mirror the analytic-counter A/B: overlap +
     clamp duplicates, flip TTA under bucketing, multi-scale heads, the
     accumulated-counter fallback, batched serving, the mesh-sharded path
-    — plus scan-vs-unroll equality under the default config."""
+    — plus scan-vs-unroll equality."""
     w_mat = rng.normal(size=(1, 2)).astype(np.float32)
     base = {'sliding_window_enable': True, 'sliding_window_size': [4, 8, 8],
             'sliding_window_stride': [3, 6, 5], 'tta_mode': 1,
@@ -580,7 +581,7 @@ def test_matmul_placement_matches_update(rng):
     img = rng.normal(size=(1, 1, 11, 20, 17)).astype(np.float32)
 
     def pair(cfg, **kw):
-        return (Inferer(dict(cfg), patch_chunk=3, **kw),
+        return (Inferer(dict(cfg, placement='matmul'), patch_chunk=3, **kw),
                 Inferer(dict(cfg, placement='update'), patch_chunk=3, **kw))
 
     # single volume, bucketed traced grid; plus the accumulated-counter
@@ -591,7 +592,7 @@ def test_matmul_placement_matches_update(rng):
         b = inf_b.run(LinearPredictor(w_mat), None, img)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
-    # the matmul-placed scan equals the default unrolled program too
+    # the matmul-placed scan equals the default (unrolled) program too
     inf_unroll = Inferer(dict(base, infer_unroll_max=256), patch_chunk=3)
     u = inf_unroll.run(LinearPredictor(w_mat), None, img)
     a = pair(base)[0].run(LinearPredictor(w_mat), None, img)
