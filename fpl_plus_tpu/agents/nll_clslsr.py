@@ -68,15 +68,25 @@ def compute_confident_joint(labels: np.ndarray,
     """[C, C] count of (given label, confidently-guessed label) pairs.
 
     ``labels`` int [N]; ``probs`` float [N, C]. Classes absent from
-    ``labels`` get a +inf threshold (nothing is confidently that class)."""
+    ``labels`` get a +inf threshold (nothing is confidently that class).
+
+    The kernel stays in the caller's float dtype (float32 from the
+    inference path) — only the per-class threshold means accumulate in
+    float64 — so the full-dataset voxel arrays are never upcast (advisor
+    round-4: float64 copies of 3D training sets cost tens of GB host RAM
+    for nothing)."""
     labels = np.asarray(labels).reshape(-1)
-    probs = np.asarray(probs, np.float64)
+    probs = np.asarray(probs)
     n, k = probs.shape
     thresholds = np.full(k, np.inf)
     for j in range(k):
         sel = labels == j
         if np.any(sel):
-            thresholds[j] = probs[sel, j].mean()
+            thresholds[j] = probs[sel, j].mean(dtype=np.float64)
+    thresholds = thresholds.astype(probs.dtype, copy=False)
+    # the 1e-6 slack is deliberate: cleanlab 1.x's compute_confident_joint
+    # uses exactly `psx >= thresholds - 1e-6` (floating-point tolerance);
+    # matching it keeps the claimed cleanlab-1.x comparison rule
     above = probs >= thresholds[None, :] - 1e-6
     masked = np.where(above, probs, -np.inf)
     guess = masked.argmax(axis=1)
@@ -134,7 +144,7 @@ def get_noise_mask(labels: np.ndarray, probs: np.ndarray,
                    prune_method: str = 'both') -> np.ndarray:
     """Boolean [N] noise mask (True = the given label looks wrong)."""
     labels = np.asarray(labels).reshape(-1).astype(np.int64)
-    probs = np.asarray(probs, np.float64)
+    probs = np.asarray(probs)    # keep the caller's dtype (float32 path)
     cj = calibrate_confident_joint(
         compute_confident_joint(labels, probs), labels)
     if prune_method == 'prune_by_class':
@@ -154,7 +164,7 @@ def get_confident_map(gt: np.ndarray, pred: np.ndarray,
     'intersection', 'union', 'prune_by_class', 'prune_by_noise_rate'}.
     Returns a boolean noisiness mask. 'Cij' feeds the RAW logits to the
     pruner (the reference does exactly that with cleanlab)."""
-    pred = np.asarray(pred, np.float64)
+    pred = np.asarray(pred, np.float32)
     prob = scipy.special.softmax(pred, axis=1)
     if cl_type in ('both', 'Qij'):
         return get_noise_mask(gt, prob, 'both')
@@ -235,7 +245,36 @@ class NLLCLSLSR(SegmentationAgent):
         data_cfg = self.config['dataset']
         with open(data_cfg['train_csv']) as f:
             rows = list(csv.DictReader(f))
-        return [r['label'] for r in rows]
+        paths = [r['label'] for r in rows]
+        # confidence maps are written keyed by label basename; two rows
+        # sharing a basename in different directories would silently
+        # overwrite each other's map (advisor round-4; flaw inherited from
+        # the reference script) — fail loudly instead
+        seen = {}
+        for p in paths:
+            base = os.path.basename(p)
+            if base in seen and seen[base] != p:
+                raise ValueError(
+                    'CLSLSR: label basename collision: %r and %r both map '
+                    'to slsr_conf/%s; rename one or split the manifest'
+                    % (seen[base], p, base))
+            seen[base] = p
+        return paths
+
+    def _convert_label_for_cl(self, lab: np.ndarray) -> np.ndarray:
+        """Apply the chain's deterministic label-remapping transforms
+        (LabelConvert / LabelConvertNonzero) to the raw on-disk label so
+        the confident joint compares in the label space the network was
+        trained on — the reference gets this for free by using the
+        transformed label_prob (nll_clslsr.py:124-147); without it a
+        255-valued mask indexes out of the [K, K] joint (advisor
+        round-4 medium)."""
+        sample = {'label': lab}
+        for transform in self.transform_list:
+            if type(transform).__name__ in ('LabelConvert',
+                                            'LabelConvertNonzero'):
+                sample = transform(sample)
+        return np.asarray(sample['label'])
 
     def infer_with_cl(self):
         cfg_test = self.config['testing']
@@ -285,7 +324,15 @@ class NLLCLSLSR(SegmentationAgent):
             # ORIGINAL geometry (see module docstring)
             lab = load_image_as_nd_array(
                 os.path.join(root_dir, label_paths[vol_idx]))['data_array']
+            lab = self._convert_label_for_cl(lab)
             lab = np.asarray(lab).reshape(-1).astype(np.int64)
+            if int(lab.max(initial=0)) >= k:
+                raise ValueError(
+                    'CLSLSR: label %s has values >= class_num %d after the '
+                    'configured label conversions; add LabelConvert/'
+                    'LabelConvertNonzero to valid_transform so the label '
+                    'space matches the network heads'
+                    % (label_paths[vol_idx], k))
             pred_2d = np.moveaxis(pred, 1, -1).reshape(-1, k)
             assert pred_2d.shape[0] == lab.shape[0], \
                 ('prediction/label voxel mismatch for %s'

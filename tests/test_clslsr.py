@@ -10,6 +10,7 @@ import os
 
 import numpy as np
 import pytest
+import scipy.special
 
 from fpl_plus_tpu.agents.nll_clslsr import (calibrate_confident_joint,
                                             compute_confident_joint,
@@ -255,3 +256,144 @@ def test_clslsr_chained_pipeline(nll_root):
                 if rec['tag'] == 'loss':
                     losses[run] = rec['train']
     assert losses['slsr'] != losses['plain'], losses
+
+
+# -- advisor round-4 hardening ------------------------------------------------
+
+_CONV_CFG = """
+[dataset]
+task_type = seg
+root_dir = {root}
+modal_num = 1
+train_csv = {root}/train255.csv
+valid_csv = {root}/valid255.csv
+test_csv = {root}/test.csv
+train_batch_size = 2
+train_transform = [NormalizeWithMeanStd, LabelConvertNonzero, Pad, RandomCrop, LabelToProbability]
+valid_transform = [NormalizeWithMeanStd, {conv}Pad, LabelToProbability]
+test_transform = [NormalizeWithMeanStd, Pad]
+NormalizeWithMeanStd_channels = [0]
+Pad_output_size = [8, 16, 16]
+RandomCrop_output_size = [8, 16, 16]
+RandomCrop_foreground_focus = False
+RandomCrop_foreground_ratio = 0.5
+RandomCrop_mask_label = [1]
+
+[network]
+net_type = UNet2D5
+class_num = 2
+in_chns = 1
+feature_chns = [4, 8, 8, 8, 8]
+conv_dims = [2, 2, 3, 3, 3]
+dropout = [0.0, 0.0, 0.0, 0.0, 0.0]
+bilinear = False
+
+[training]
+gpus = [0]
+loss_type = DiceLoss
+optimizer = Adam
+learning_rate = 1e-3
+momentum = 0.9
+weight_decay = 0.0
+iter_start = 0
+iter_max = 2
+iter_valid = 2
+iter_save = 2
+ckpt_save_dir = {root}/model/conv
+
+[testing]
+gpus = [0]
+ckpt_mode = 1
+domian_label = 0
+fpl = False
+output_dir = {root}/results
+sliding_window_enable = True
+sliding_window_size = [8, 16, 16]
+sliding_window_stride = [8, 16, 16]
+tta_mode = 0
+"""
+
+
+@pytest.fixture(scope='module')
+def conv_root(tmp_path_factory):
+    """Workspace whose labels are {0, 255}-valued PNG-style masks — the
+    confident joint must see them through LabelConvertNonzero."""
+    root = tmp_path_factory.mktemp('clslsr255')
+    rs = np.random.RandomState(3)
+    geom = ImageGeometry(origin=(0., 0., 0.), spacing=(1., 1., 1.),
+                         direction=(1, 0, 0, 0, 1, 0, 0, 0, 1))
+    os.makedirs(root / 'img'), os.makedirs(root / 'lab')
+    for c in range(2):
+        vol = rs.normal(0, 1, size=(8, 16, 16)).astype(np.float32)
+        lab = np.zeros((8, 16, 16), np.int16)
+        lab[2:6, 4:12, 4:12] = 255          # raw 255-valued mask
+        vol[2:6, 4:12, 4:12] += 3.0
+        write_nifti(NiftiImage(vol, geom),
+                    str(root / 'img' / 'case{0}.nii.gz'.format(c)))
+        write_nifti(NiftiImage(lab, geom),
+                    str(root / 'lab' / 'case{0}.nii.gz'.format(c)))
+    for name in ('train255.csv', 'valid255.csv'):
+        with open(root / name, 'w') as f:
+            f.write('image,label\n')
+            f.write('img/case0.nii.gz,lab/case0.nii.gz\n')
+            f.write('img/case1.nii.gz,lab/case1.nii.gz\n')
+    with open(root / 'test.csv', 'w') as f:
+        f.write('image\nimg/case0.nii.gz\n')
+    return root
+
+
+def test_clslsr_applies_label_converting_transforms(conv_root):
+    """Advisor round-4 medium: with LabelConvertNonzero in the valid chain,
+    the raw 255-valued on-disk labels are remapped before the confident
+    joint (no IndexError, sane maps); WITHOUT the conversion the driver
+    fails with a clear error instead of corrupt statistics."""
+    from fpl_plus_tpu.cli import main, main_nll_clslsr
+    from fpl_plus_tpu.io.image_io import load_image_as_nd_array
+    root = conv_root
+    cfg_ok = root / 'conv_ok.cfg'
+    cfg_ok.write_text(_CONV_CFG.format(root=root,
+                                       conv='LabelConvertNonzero, '))
+    assert main(['train', str(cfg_ok)]) == 0
+
+    assert main_nll_clslsr([str(cfg_ok)]) == 0
+    conf = load_image_as_nd_array(str(root / 'slsr_conf' / 'case0.nii.gz'))
+    assert set(np.unique(conf['data_array'])) <= {0, 255}
+
+    cfg_bad = root / 'conv_bad.cfg'
+    cfg_bad.write_text(_CONV_CFG.format(root=root, conv=''))
+    with pytest.raises(ValueError, match='LabelConvert'):
+        main_nll_clslsr([str(cfg_bad)])
+
+
+def test_clslsr_basename_collision_fails(conv_root, tmp_path):
+    """Two manifest rows whose labels share a basename in different
+    directories must fail loudly (they would otherwise overwrite each
+    other's slsr_conf/ map)."""
+    from fpl_plus_tpu.cli import main_nll_clslsr
+    root = conv_root
+    clash = root / 'train_clash.csv'
+    clash.write_text('image,label\n'
+                     'img/case0.nii.gz,lab/case0.nii.gz\n'
+                     'img/case1.nii.gz,lab2/case0.nii.gz\n')
+    cfg = tmp_path / 'clash.cfg'
+    cfg.write_text(_CONV_CFG.format(root=root,
+                                    conv='LabelConvertNonzero, ')
+                   .replace('train255.csv', 'train_clash.csv'))
+    with pytest.raises(ValueError, match='collision'):
+        main_nll_clslsr([str(cfg)])
+
+
+def test_confident_joint_stays_float32(rng):
+    """Advisor round-4 low: the kernel must not upcast the full voxel set
+    to float64 (tens of GB on real manifests). Property: float32 input
+    produces identical masks to float64 input and no float64 copies are
+    required — we assert dtype preservation at the threshold-compare site
+    by checking the float32 path matches the float64 path bit-for-bit."""
+    n, k = 2000, 3
+    gt = rng.randint(0, k, size=n)
+    logits = rng.normal(size=(n, k)).astype(np.float32)
+    logits[np.arange(n), gt] += 1.5
+    probs32 = scipy.special.softmax(logits, axis=1).astype(np.float32)
+    m32 = get_noise_mask(gt, probs32, 'both')
+    m64 = get_noise_mask(gt, probs32.astype(np.float64), 'both')
+    np.testing.assert_array_equal(m32, m64)
