@@ -13,6 +13,14 @@ Extra fields on the same line:
 * ``e2e_test_stage``: serving throughput measured end to end — host NIfTI
   decode + normalize + device inference + device argmax + NIfTI encode/save.
 
+Measurement design (VERDICT round 4, weak #1): the tunnel link drifts by
+up to 2x across minutes, so (a) every arm is measured in ROUND-ROBIN
+interleaved samples — all arms share each link phase, making cross-arm
+wall ratios meaningful — and (b) the compute arms also publish a
+``device_ms`` read from the profiler trace (on-device program time,
+immune to link phase). When a wall ratio and its device_ms ratio disagree
+in sign, trust device_ms.
+
 Baselines: the reference implementation's own code on PyTorch CPU
 (8 threads), measured on this machine for the identical volume/config —
 154.9 s/volume inference, 166.2 s/step training (BASELINE.md; the repo
@@ -20,6 +28,7 @@ publishes no numbers of its own).
 """
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -28,14 +37,19 @@ os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jaxcache')
 import numpy as np
 
 REFERENCE_VOLUME = '/root/reference/dataset/hrT2_test/vs_gk_9_t2.nii.gz'
-N_SAMPLES = 3   # median-of-N per metric: the tunnel link shows 10-20%
-                # session variance; medians make round-over-round BENCH_r*
-                # comparisons trustworthy (BASELINE.md variance note)
+N_SAMPLES = 3   # samples per arm, interleaved round-robin across arms:
+                # each arm sees every link phase, so medians are comparable
+                # both round-over-round AND arm-vs-arm
+
+SERVING_BATCH = 8   # measured-best batched-serving policy (BASELINE.md
+                    # round-3 stage C: B=8 scan-accumulated, 4.28 vol/s
+                    # steady-state vs 2.9-3.9 for B<=4)
 
 
 def median_of(fn, k: int = N_SAMPLES) -> float:
-    import statistics
     return statistics.median(fn() for _ in range(k))
+
+
 BASELINE_VOL_PER_SEC = 0.006455   # reference torch CPU, same volume+config
 BASELINE_TRAIN_STEP_SEC = 166.2   # reference torch CPU dual-domain step
 
@@ -43,6 +57,11 @@ NET_CFG = {'net_type': 'UNet2D5_dsbn', 'num_domains': 2, 'class_num': 2,
            'in_chns': 1, 'feature_chns': [32, 64, 128, 256, 512],
            'conv_dims': [2, 2, 3, 3, 3],
            'dropout': [0.0, 0.0, 0.3, 0.4, 0.5], 'bilinear': False}
+
+SW_CFG = {'sliding_window_enable': True,
+          'sliding_window_size': [28, 128, 128],
+          'sliding_window_stride': [28, 128, 128],
+          'tta_mode': 1, 'class_num': 2, 'output_mode': 'label'}
 
 
 def load_volume_raw() -> np.ndarray:
@@ -54,31 +73,28 @@ def load_volume_raw() -> np.ndarray:
         size=(1, 40, 160, 272)).astype(np.float32)
 
 
-def bench_inference(module, variables, img, precision='float32') -> float:
+def _predictor_for(module):
+    def predictor(ctx, x):
+        out = module.apply(ctx[0], x, ctx[1], False)
+        return out[0] if isinstance(out, (tuple, list)) else out
+    return predictor
+
+
+def prepare_inference(module, variables, img, precision='float32') -> dict:
+    """Serving hot loop, one volume per dispatch (output_mode='label':
+    device-side argmax; the final uint8 label volume is what crosses to
+    the host — the reference equivalently argmaxes on CPU in save_outputs
+    after its Inferer.run). Pipelined depth-1: volume i's device->host
+    transfer overlaps volume i+1's compute."""
     import jax.numpy as jnp
     from fpl_plus_tpu.engine.infer import Inferer
     from fpl_plus_tpu.utils.precision import cast_infer_variables
 
-    # output_mode='label': the serving path — device-side argmax, the
-    # final uint8 label volume is what crosses to the host (the reference
-    # equivalently argmaxes on CPU in save_outputs after its Inferer.run)
-    test_cfg = {'sliding_window_enable': True,
-                'sliding_window_size': [28, 128, 128],
-                'sliding_window_stride': [28, 128, 128],
-                'tta_mode': 1, 'class_num': 2, 'output_mode': 'label',
-                'precision': precision}
-
-    def predictor(ctx, x):
-        out = module.apply(ctx[0], x, ctx[1], False)
-        return out[0] if isinstance(out, (tuple, list)) else out
-
-    inferer = Inferer(test_cfg, patch_chunk=2)
+    predictor = _predictor_for(module)
+    inferer = Inferer(dict(SW_CFG, precision=precision), patch_chunk=2)
     ctx = (cast_infer_variables(variables, precision), jnp.int32(1))
     inferer.run(predictor, ctx, img)          # warmup / compile
 
-    # depth-1 pipeline (the serving pattern): volume i's device->host
-    # transfer overlaps volume i+1's compute; end-to-end time over n_rep
-    # volumes, so the number stays an honest steady-state throughput
     def measure():
         n_rep = 8
         t0 = time.time()
@@ -91,10 +107,16 @@ def bench_inference(module, variables, img, precision='float32') -> float:
         pending()
         return n_rep / (time.time() - t0)
 
-    return median_of(measure)
+    def traced():
+        inferer.run(predictor, ctx, img)
+
+    return {'measure': measure, 'traced': traced, 'traced_reps': 4,
+            'volumes_per_rep': 1}
 
 
-def bench_train_step(module, variables, precision='float32') -> float:
+def prepare_train_step(module, variables, precision='float32') -> dict:
+    """Dual-domain joint train step (reference agent_seg.py:336-372):
+    batch 4+4 crops [28,128,128], DiceLoss + entropy reg + Adam."""
     import jax
     import jax.numpy as jnp
     from fpl_plus_tpu.engine.optim import create_optimizer
@@ -102,15 +124,14 @@ def bench_train_step(module, variables, precision='float32') -> float:
     from fpl_plus_tpu.losses import SegLossDict
     from fpl_plus_tpu.utils.precision import resolve_dtype
 
-    import jax as _jax
     optimizer = create_optimizer(
         {'optimizer': 'Adam', 'learning_rate': 1e-4, 'momentum': 0.9,
          'weight_decay': 0.0}, {'lr_scheduler': None})
     # the jitted step donates its state; copy so the shared eval variables
     # survive for the other benchmarks
     state = create_train_state(
-        _jax.tree_util.tree_map(jnp.copy, variables['params']),
-        _jax.tree_util.tree_map(jnp.copy, variables['batch_stats']),
+        jax.tree_util.tree_map(jnp.copy, variables['params']),
+        jax.tree_util.tree_map(jnp.copy, variables['batch_stats']),
         optimizer)
     loss_calc = SegLossDict['DiceLoss']({})
     step = make_train_step(module.apply, loss_calc, optimizer,
@@ -137,19 +158,27 @@ def bench_train_step(module, variables, precision='float32') -> float:
     # can return before execution finishes; a host read cannot
     float(metrics['loss'])
 
+    def one_step():
+        rng_box[0], sub = jax.random.split(rng_box[0])
+        state_box[0], metrics = step(state_box[0], batches, sub)
+        return metrics
+
     def measure():
         n_rep = 10
         t0 = time.time()
         for _ in range(n_rep):
-            rng_box[0], sub = jax.random.split(rng_box[0])
-            state_box[0], metrics = step(state_box[0], batches, sub)
+            metrics = one_step()
         float(metrics['loss'])
         return (time.time() - t0) / n_rep
 
-    return median_of(measure)
+    def traced():
+        float(one_step()['loss'])
+
+    return {'measure': measure, 'traced': traced, 'traced_reps': 3,
+            'volumes_per_rep': 1}
 
 
-def bench_e2e_test_stage(module, variables) -> float:
+def prepare_e2e_test_stage(module, variables) -> dict:
     """Full serving path per volume: NIfTI decode -> normalize (host) ->
     device sliding-window+TTA inference with device argmax -> NIfTI
     encode/save, pipelined depth-1 like the agent's test stage."""
@@ -158,19 +187,10 @@ def bench_e2e_test_stage(module, variables) -> float:
     from fpl_plus_tpu.engine.infer import Inferer
     from fpl_plus_tpu.io.image_io import (load_image_as_nd_array,
                                           save_nd_array_as_image)
-
-    test_cfg = {'sliding_window_enable': True,
-                'sliding_window_size': [28, 128, 128],
-                'sliding_window_stride': [28, 128, 128],
-                'tta_mode': 1, 'class_num': 2, 'output_mode': 'label'}
-
-    def predictor(ctx, x):
-        out = module.apply(ctx[0], x, ctx[1], False)
-        return out[0] if isinstance(out, (tuple, list)) else out
-
     from fpl_plus_tpu.io.loader import prefetch_iter
 
-    inferer = Inferer(test_cfg, patch_chunk=2)
+    predictor = _predictor_for(module)
+    inferer = Inferer(dict(SW_CFG), patch_chunk=2)
     ctx = (variables, jnp.int32(1))
     have_ref = os.path.exists(REFERENCE_VOLUME)
     tmpdir = tempfile.mkdtemp(prefix='fplx_bench_')
@@ -209,47 +229,48 @@ def bench_e2e_test_stage(module, variables) -> float:
         _finish(pending)
         return n_rep / (time.time() - t0)
 
-    return median_of(measure)
+    return {'measure': measure, 'traced': None}
 
 
-def bench_batched_serving(module, variables, img, b: int = 4) -> float:
+def prepare_batched_serving(module, variables, img,
+                            b: int = SERVING_BATCH) -> dict:
     """Batched serving (Inferer.run_batch_async): B same-shape volumes per
     program dispatch, depth-1 pipelined across dispatches — the production
     test stage's path for collated test batches (test_batch_size > 1).
-    Reported as volumes/sec."""
+    B=8 takes the scan-accumulated window loop (the measured-best policy,
+    BASELINE.md round-3 stage C). Reported as volumes/sec."""
     import jax.numpy as jnp
     from fpl_plus_tpu.engine.infer import Inferer
 
-    test_cfg = {'sliding_window_enable': True,
-                'sliding_window_size': [28, 128, 128],
-                'sliding_window_stride': [28, 128, 128],
-                'tta_mode': 1, 'class_num': 2, 'output_mode': 'label'}
-
-    def predictor(ctx, x):
-        out = module.apply(ctx[0], x, ctx[1], False)
-        return out[0] if isinstance(out, (tuple, list)) else out
-
-    inferer = Inferer(test_cfg, patch_chunk=2)
+    predictor = _predictor_for(module)
+    inferer = Inferer(dict(SW_CFG), patch_chunk=2)
     ctx = (variables, jnp.int32(1))
     imgs = np.repeat(img, b, axis=0)
     inferer.run_batch(predictor, ctx, imgs)     # warmup / compile
 
     def measure():
-        n_rep = 3
+        # depth-2 pipeline: a B-volume dispatch fetches 8x the bytes of the
+        # per-volume arm, so one extra in-flight batch is needed to keep
+        # the device busy through the longer D2H drain
+        n_rep = 4
         t0 = time.time()
-        pending = None
+        pending = []
         for _ in range(n_rep):
-            fetch = inferer.run_batch_async(predictor, ctx, imgs)
-            if pending is not None:
-                pending()
-            pending = fetch
-        pending()
+            pending.append(inferer.run_batch_async(predictor, ctx, imgs))
+            if len(pending) > 2:
+                pending.pop(0)()
+        for fetch in pending:
+            fetch()
         return n_rep * b / (time.time() - t0)
 
-    return median_of(measure)
+    def traced():
+        inferer.run_batch(predictor, ctx, imgs)
+
+    return {'measure': measure, 'traced': traced, 'traced_reps': 2,
+            'volumes_per_rep': b}
 
 
-def bench_fpl_pass(module, variables, img) -> float:
+def prepare_fpl_pass(module, variables, img) -> dict:
     """The FPL uncertainty hot loop (reference agent_seg.py:897-931): 6
     MC-dropout passes x (sliding window + 4-flip TTA) per volume, folded
     into ONE program dispatch with the image-level uncertainty reduction
@@ -260,11 +281,7 @@ def bench_fpl_pass(module, variables, img) -> float:
     import jax.numpy as jnp
     from fpl_plus_tpu.engine.infer import GroupedMCPredictor, Inferer
 
-    test_cfg = {'sliding_window_enable': True,
-                'sliding_window_size': [28, 128, 128],
-                'sliding_window_stride': [28, 128, 128],
-                'tta_mode': 1, 'class_num': 2, 'output_mode': 'logits'}
-    inferer = Inferer(test_cfg, patch_chunk=2)
+    inferer = Inferer(dict(SW_CFG, output_mode='logits'), patch_chunk=2)
     # the production predictor (shared with SegmentationAgent's FPL stage)
     pred = GroupedMCPredictor(module)
     keys = jnp.stack(jax.random.split(jax.random.PRNGKey(7), 6))
@@ -284,7 +301,7 @@ def bench_fpl_pass(module, variables, img) -> float:
         pending()
         return n_rep / (time.time() - t0)
 
-    return median_of(measure)
+    return {'measure': measure, 'traced': None}
 
 
 def _machinery_predictor(ctx, x):
@@ -345,11 +362,6 @@ def bench_probes(module, variables, img) -> dict:
 
     d2h_mbps = median_of(d2h)
 
-    base_cfg = {'sliding_window_enable': True,
-                'sliding_window_size': [28, 128, 128],
-                'sliding_window_stride': [28, 128, 128],
-                'tta_mode': 1, 'class_num': 2, 'output_mode': 'label'}
-
     def pipeline_vps(inferer, predictor, ctx, n_rep=8):
         inferer.run(predictor, ctx, img)   # warm
         def measure():
@@ -364,16 +376,13 @@ def bench_probes(module, variables, img) -> dict:
             return n_rep / (time.time() - t0)
         return median_of(measure)
 
-    machinery_vps = pipeline_vps(Inferer(dict(base_cfg), patch_chunk=2),
+    machinery_vps = pipeline_vps(Inferer(dict(SW_CFG), patch_chunk=2),
                                  _machinery_predictor, ())
 
-    def predictor(ctx, x):
-        out = module.apply(ctx[0], x, ctx[1], False)
-        return out[0] if isinstance(out, (tuple, list)) else out
-
+    predictor = _predictor_for(module)
     ctx = (variables, jnp.int32(1))
     packed_vps = pipeline_vps(
-        Inferer(dict(base_cfg, output_mode='packed_label'), patch_chunk=2),
+        Inferer(dict(SW_CFG, output_mode='packed_label'), patch_chunk=2),
         predictor, ctx)
 
     vox = int(np.prod(img.shape))
@@ -442,6 +451,7 @@ def main():
     except Exception:
         pass
     from fpl_plus_tpu.models.registry import create_network, init_network
+    from fpl_plus_tpu.utils.trace_metrics import traced_device_ms
 
     module = create_network(NET_CFG)
     params, batch_stats = init_network(module, NET_CFG)
@@ -450,43 +460,79 @@ def main():
     img = load_volume_raw()
     img = ((img - img.mean()) / (img.std() + 1e-6))[None].astype(np.float32)
 
-    vps = bench_inference(module, variables, img)
-    vps_bf16 = bench_inference(module, variables, img, 'bfloat16')
-    step_sec = bench_train_step(module, variables)
-    step_bf16 = bench_train_step(module, variables, 'bfloat16')
-    e2e_vps = bench_e2e_test_stage(module, variables)
-    fpl_vps = bench_fpl_pass(module, variables, img)
-    batch_vps = bench_batched_serving(module, variables, img)
+    # build + warm every arm FIRST (compiles out of the way), then sample
+    # all arms round-robin so each arm sees every link phase
+    arms = {
+        'inference_f32': prepare_inference(module, variables, img),
+        'inference_bf16': prepare_inference(module, variables, img,
+                                            'bfloat16'),
+        'batched_serving': prepare_batched_serving(module, variables, img),
+        'e2e_test_stage': prepare_e2e_test_stage(module, variables),
+        'fpl_pass': prepare_fpl_pass(module, variables, img),
+        'train_f32': prepare_train_step(module, variables),
+        'train_bf16': prepare_train_step(module, variables, 'bfloat16'),
+    }
+
+    samples = {name: [] for name in arms}
+    for _ in range(N_SAMPLES):
+        for name, arm in arms.items():
+            samples[name].append(arm['measure']())
+    med = {name: statistics.median(vals) for name, vals in samples.items()}
+
+    # per-arm on-device program time from the profiler trace (immune to
+    # link phase: the authoritative cross-arm ratio)
+    device_ms = {}
+    for name, arm in arms.items():
+        if arm.get('traced') is None:
+            device_ms[name] = None
+            continue
+        ms = traced_device_ms(arm['traced'], arm['traced_reps'], name)
+        device_ms[name] = (round(ms / arm['volumes_per_rep'], 1)
+                           if ms is not None else None)
+
     probes = bench_probes(module, variables, img)
 
     print(json.dumps({
         'metric': 'sliding_window_inference',
-        'value': round(vps, 4), 'unit': 'volumes/sec',
-        'vs_baseline': round(vps / BASELINE_VOL_PER_SEC, 1),
+        'value': round(med['inference_f32'], 4), 'unit': 'volumes/sec',
+        'vs_baseline': round(med['inference_f32'] / BASELINE_VOL_PER_SEC, 1),
+        'device_ms_per_volume': device_ms['inference_f32'],
         'bf16_inference': {
-            'value': round(vps_bf16, 4), 'unit': 'volumes/sec',
-            'vs_baseline': round(vps_bf16 / BASELINE_VOL_PER_SEC, 1)},
+            'value': round(med['inference_bf16'], 4), 'unit': 'volumes/sec',
+            'vs_baseline': round(med['inference_bf16']
+                                 / BASELINE_VOL_PER_SEC, 1),
+            'device_ms_per_volume': device_ms['inference_bf16']},
         'train_step': {
-            'value': round(step_sec, 4), 'unit': 'sec/step',
-            'vs_baseline': round(BASELINE_TRAIN_STEP_SEC / step_sec, 1)},
+            'value': round(med['train_f32'], 4), 'unit': 'sec/step',
+            'vs_baseline': round(BASELINE_TRAIN_STEP_SEC
+                                 / med['train_f32'], 1),
+            'device_ms_per_step': device_ms['train_f32']},
         'bf16_train_step': {
-            'value': round(step_bf16, 4), 'unit': 'sec/step',
-            'vs_baseline': round(BASELINE_TRAIN_STEP_SEC / step_bf16, 1)},
+            'value': round(med['train_bf16'], 4), 'unit': 'sec/step',
+            'vs_baseline': round(BASELINE_TRAIN_STEP_SEC
+                                 / med['train_bf16'], 1),
+            'device_ms_per_step': device_ms['train_bf16']},
         'e2e_test_stage': {
-            'value': round(e2e_vps, 4), 'unit': 'volumes/sec',
-            'vs_baseline': round(e2e_vps / BASELINE_VOL_PER_SEC, 1)},
+            'value': round(med['e2e_test_stage'], 4), 'unit': 'volumes/sec',
+            'vs_baseline': round(med['e2e_test_stage']
+                                 / BASELINE_VOL_PER_SEC, 1)},
         'fpl_uncertainty_pass': {
             # one volume = 6 MC-dropout passes fused into one dispatch;
             # baseline = the reference running its inference loop 6x
-            'value': round(fpl_vps, 4), 'unit': 'volumes/sec',
-            'vs_baseline': round(fpl_vps / (BASELINE_VOL_PER_SEC / 6), 1)},
-        'batched_serving_b4': {
-            'value': round(batch_vps, 4), 'unit': 'volumes/sec',
-            'vs_baseline': round(batch_vps / BASELINE_VOL_PER_SEC, 1)},
+            'value': round(med['fpl_pass'], 4), 'unit': 'volumes/sec',
+            'vs_baseline': round(med['fpl_pass']
+                                 / (BASELINE_VOL_PER_SEC / 6), 1)},
+        'batched_serving_b{0}'.format(SERVING_BATCH): {
+            'value': round(med['batched_serving'], 4),
+            'unit': 'volumes/sec',
+            'vs_baseline': round(med['batched_serving']
+                                 / BASELINE_VOL_PER_SEC, 1),
+            'device_ms_per_volume': device_ms['batched_serving']},
         # link/program separability probes (VERDICT r3: the headline rides
         # a +/-2x tunnel-phase variable; these fields attribute it)
         'probes': probes,
-        'samples_per_metric': N_SAMPLES}))
+        'samples_per_metric': N_SAMPLES,
+        'interleaved_arms': True}))
 
 
 if __name__ == '__main__':
