@@ -93,6 +93,7 @@ ckpt_save_prefix = parity
 [testing]
 fpl = False
 gpus = [0]
+{precision_line}
 domian_label = 1
 ae = None
 ckpt_mode = 2
@@ -137,11 +138,12 @@ def write_workspace(work):
             f.write('{0},{1}\n'.format(lab, seg))
 
 
-def write_cfg(work, side, ckpt_name):
+def write_cfg(work, side, ckpt_name, precision=None):
     path = os.path.join(work, side + '.cfg')
+    line = 'precision = {0}'.format(precision) if precision else ''
     with open(path, 'w') as f:
         f.write(CFG.format(ref=REF, work=work, side=side,
-                           ckpt_name=ckpt_name))
+                           ckpt_name=ckpt_name, precision_line=line))
     return path
 
 
@@ -229,9 +231,10 @@ def run_reference_test(work: str, pt_path: str) -> None:
     eva_main(ref_parse(cfg_path))
 
 
-def run_ours_test(work: str, our_ckpt: str) -> None:
+def run_ours_test(work: str, our_ckpt: str, side: str = 'ours',
+                  precision=None) -> None:
     os.environ.setdefault('JAX_PLATFORMS', 'cpu')
-    cfg_path = write_cfg(work, 'ours', our_ckpt)
+    cfg_path = write_cfg(work, side, our_ckpt, precision=precision)
     from fpl_plus_tpu.cli import main
     assert main(['test', cfg_path]) == 0
     from fpl_plus_tpu.config.parser import parse_config, synchronize_config
@@ -239,14 +242,15 @@ def run_ours_test(work: str, our_ckpt: str) -> None:
     eva_main(synchronize_config(parse_config(cfg_path)))
 
 
-def compare(work: str) -> int:
+def compare(work: str, side_a: str = 'ref', side_b: str = 'ours') -> int:
     import dice_parity
     worst = 0.0
-    print('\n====== conversion parity at the high-Dice checkpoint ======')
+    print('\n====== conversion parity at the high-Dice checkpoint '
+          '({0} vs {1}) ======'.format(side_a, side_b))
     for metric in ('dice', 'assd'):
-        ref_csv = os.path.join(work, 'ref', 'results', 'parity_test_cases',
+        ref_csv = os.path.join(work, side_a, 'results', 'parity_test_cases',
                                'test_tumor_{0}_all.csv'.format(metric))
-        our_csv = os.path.join(work, 'ours', 'results', 'parity_test_cases',
+        our_csv = os.path.join(work, side_b, 'results', 'parity_test_cases',
                                'test_tumor_{0}_all.csv'.format(metric))
         ref_scores = dice_parity.read_scores(ref_csv)
         our_scores = dice_parity.read_scores(our_csv)
@@ -255,7 +259,7 @@ def compare(work: str) -> int:
             if name in ('mean', 'std'):
                 continue
             d = abs(ref_scores[name] - our_scores[name])
-            print('  {0:<26}{1:>12.6f}{2:>12.6f}{3:>12.6f}'.format(
+            print('  {0:<26}{1:>16.9f}{2:>16.9f}{3:>14.9f}'.format(
                 name, ref_scores[name], our_scores[name], d))
             if metric == 'dice':
                 worst = max(worst, d)
@@ -263,6 +267,12 @@ def compare(work: str) -> int:
     print('max |delta dice| = {0:.6f} -> {1} (criterion <= 0.005)'.format(
         worst, 'PASS' if ok else 'FAIL'))
     return 0 if ok else 1
+
+
+def _flag_value(name, default=None):
+    if name in sys.argv:
+        return sys.argv[sys.argv.index(name) + 1]
+    return default
 
 
 def main():
@@ -275,11 +285,14 @@ def main():
                            '{0}_{1}.txt'.format(prefix, pointer))) as f:
         it = int(f.read().strip())
     our_ckpt = os.path.join(ckpt_dir, '{0}_{1}.ckpt'.format(prefix, it))
+    side = _flag_value('--side', 'ours')
+    precision = _flag_value('--precision')      # e.g. bfloat16 (VERDICT #2)
     if '--ours-only' not in sys.argv:
         pt_path = export_reference_pt(our_ckpt, work)
         run_reference_test(work, pt_path)
-    run_ours_test(work, our_ckpt)
-    sys.exit(compare(work))
+    if '--compare-only' not in sys.argv:
+        run_ours_test(work, our_ckpt, side=side, precision=precision)
+    sys.exit(compare(work, _flag_value('--baseline', 'ref'), side))
 
 
 if __name__ == '__main__':

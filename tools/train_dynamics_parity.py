@@ -33,9 +33,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-SEEDS = (1, 2, 3)
+SEEDS = (1, 2, 3, 4, 5, 6, 7)
 ITERS = 300
 ITER_VALID = 50
+# bootstrap acceptance (VERDICT r4 #6): the 95% CI on mean(ours) - mean(ref)
+# final Dice must exclude values below -0.05 on every case
+CI_FLOOR = -0.05
+N_BOOT = 10000
 
 
 def run_one(kind: str, seed: int, work: str, iters: int) -> None:
@@ -109,6 +113,18 @@ def final_scores(work: str, kind: str, seed: int):
     return rows
 
 
+def _bootstrap_ci(ours, ref, n_boot=N_BOOT, alpha=0.05, seed=0):
+    """Percentile bootstrap CI on mean(ours) - mean(ref), resampling seeds
+    with replacement independently per stack."""
+    rs = np.random.RandomState(seed)
+    o = np.asarray(ours, dtype=np.float64)
+    r = np.asarray(ref, dtype=np.float64)
+    diffs = (o[rs.randint(0, len(o), (n_boot, len(o)))].mean(1)
+             - r[rs.randint(0, len(r), (n_boot, len(r)))].mean(1))
+    return (float(np.percentile(diffs, 100 * alpha / 2)),
+            float(np.percentile(diffs, 100 * (1 - alpha / 2))))
+
+
 def report(work: str) -> int:
     cases = {}
     for kind in ('ref', 'ours'):
@@ -120,21 +136,51 @@ def report(work: str) -> int:
                 print('MISSING: {0} seed {1}'.format(kind, seed))
     print('\n========== training-dynamics parity (final test-stage Dice, '
           '{0} seeds) =========='.format(len(SEEDS)))
-    print('{0:<28}{1:>22}{2:>22}{3:>10}'.format(
-        'case', 'reference mean+-std', 'ours mean+-std', 'gap'))
+    print('{0:<28}{1:>22}{2:>22}{3:>10}{4:>22}'.format(
+        'case', 'reference mean+-std', 'ours mean+-std', 'gap',
+        '95% CI (ours-ref)'))
     ok = True
     for name, sides in sorted(cases.items()):
         r = np.asarray(sides.get('ref', [np.nan]))
         o = np.asarray(sides.get('ours', [np.nan]))
         gap = abs(r.mean() - o.mean())
-        pooled = float(np.sqrt((r.std() ** 2 + o.std() ** 2) / 2))
-        # overlap criterion: means within max(0.5 pt, 1.5 pooled std)
-        lim = max(0.005, 1.5 * pooled)
-        line_ok = gap <= lim
+        lo, hi = _bootstrap_ci(o, r)
+        # acceptance: the CI on (ours - ref) excludes values below CI_FLOOR
+        # — i.e. we are statistically confident ours is not >5 Dice points
+        # behind the reference on this case (VERDICT r4 #6)
+        line_ok = lo >= CI_FLOOR
         ok &= line_ok
-        print('{0:<28}{1:>14.4f}+-{2:.4f}{3:>14.4f}+-{4:.4f}{5:>9.4f} {6}'
+        print('{0:<28}{1:>14.4f}+-{2:.4f}{3:>14.4f}+-{4:.4f}{5:>9.4f}'
+              '{6:>11.4f},{7:>8.4f} {8}'
               .format(name, r.mean(), r.std(), o.mean(), o.std(), gap,
-                      'OK' if line_ok else 'GAP>lim(%.4f)' % lim))
+                      lo, hi, 'OK' if line_ok
+                      else 'CI floor %.3f violated' % CI_FLOOR))
+
+    # trajectory-LEVEL statistic: mean valid-Dice over the whole run per
+    # seed (not just the endpoint), same bootstrap acceptance
+    print('\ntrajectory-mean valid Dice over the run:')
+    tmeans = {}
+    for k in ('ref', 'ours'):
+        vals = []
+        for s in SEEDS:
+            traj = [v for _, v in valid_trajectory(work, k, s)]
+            if traj:
+                vals.append(float(np.mean(traj)))
+        tmeans[k] = vals
+    r = np.asarray(tmeans['ref'])
+    o = np.asarray(tmeans['ours'])
+    if len(r) >= 2 and len(o) >= 2:
+        print('  (n: ref {0}, ours {1})'.format(len(r), len(o)))
+        lo, hi = _bootstrap_ci(o, r)
+        line_ok = lo >= CI_FLOOR
+        ok &= line_ok
+        print('  ref {0:.4f}+-{1:.4f}  ours {2:.4f}+-{3:.4f}  '
+              '95% CI(ours-ref) [{4:.4f}, {5:.4f}] {6}'.format(
+                  r.mean(), r.std(), o.mean(), o.std(), lo, hi,
+                  'OK' if line_ok else 'CI floor violated'))
+    else:
+        print('  (incomplete trajectories)')
+
     print('\nvalid-dice trajectories (iter: ref seeds | ours seeds):')
     trajs = {k: {s: dict(valid_trajectory(work, k, s)) for s in SEEDS}
              for k in ('ref', 'ours')}
@@ -165,8 +211,10 @@ def main():
         # add contention (BASELINE.md host-pipeline note). Completed sides
         # (results CSV present) are skipped, so the study resumes cheaply
         # after an interruption.
-        for kind in ('ours', 'ref'):
-            for s in SEEDS:
+        # seed-major order so an interrupted study still yields a BALANCED
+        # sample (n complete seeds in both stacks) for the bootstrap CI
+        for s in SEEDS:
+            for kind in ('ref', 'ours'):
                 done = os.path.join(
                     work, '{0}_s{1}'.format(kind, s), 'results',
                     'parity_test_hrT2', 'test_tumor_dice_all.csv')
