@@ -864,6 +864,17 @@ class Inferer:
             raise ValueError('Undefined placement {0}'.format(
                 self.placement))
 
+    def _host_cast(self, arr: np.ndarray) -> np.ndarray:
+        """Cast the volume to the serving compute dtype ON HOST, before
+        the H2D transfer: bf16 inputs then cross the wire at half the f32
+        bytes — the serving wall on a transfer-bound link (BASELINE.md
+        round-5 probes: ~7 MB/volume H2D vs ~170 ms device). Numerically
+        identical to the on-device convert this replaces: ml_dtypes'
+        float32->bfloat16 cast is round-to-nearest-even, same as XLA's."""
+        if self.compute_dtype is not None:
+            return np.asarray(arr).astype(self.compute_dtype, order='C')
+        return arr
+
     def _resolve_sw(self, img_shape):
         """(use_sw, window, stride) with the reference clamps: window caps
         at the image, stride caps at the window."""
@@ -994,9 +1005,7 @@ class Inferer:
 
         image = np.asarray(image)
         assert image.shape[0] == 1, 'inference processes one volume at a time'
-        vol = jnp.asarray(np.moveaxis(image[0], 0, -1))   # [*img, C]
-        if self.compute_dtype is not None:
-            vol = vol.astype(self.compute_dtype)
+        vol = jnp.asarray(self._host_cast(np.moveaxis(image[0], 0, -1)))
         # packed mode computes plain labels on device and bit-packs after
         # the margin crop (packing must see the final voxel set)
         device_mode = 'label' if self.packed else self.output_mode
@@ -1185,9 +1194,7 @@ class Inferer:
         ``self.mesh`` so XLA partitions the program over the passes."""
         n = images.shape[0]
         img_shape = images.shape[2:]
-        vols = jnp.asarray(np.moveaxis(images, 1, -1))   # [N, *img, C]
-        if self.compute_dtype is not None:
-            vols = vols.astype(self.compute_dtype)
+        vols = jnp.asarray(self._host_cast(np.moveaxis(images, 1, -1)))
         device_mode = 'label' if self.packed else self.output_mode
         pads, starts, weights, chunk, target = self._bucket_plan(
             tuple(img_shape), window, stride)
@@ -1280,9 +1287,7 @@ class Inferer:
             return [o[:n_passes] for o in outs] if pad_n else outs
         # whole-volume fold: autopad like run_async, batched program
         device_mode = 'label' if self.packed else self.output_mode
-        vols = jnp.asarray(np.moveaxis(images, 1, -1))
-        if self.compute_dtype is not None:
-            vols = vols.astype(self.compute_dtype)
+        vols = jnp.asarray(self._host_cast(np.moveaxis(images, 1, -1)))
         mult = self.config.get('infer_autopad_multiple', 16)
         pads = [(-s) % mult for s in img_shape]
         if any(pads):

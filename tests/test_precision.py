@@ -178,3 +178,23 @@ def test_apply_matmul_precision_roundtrip():
     finally:
         jax.config.update('jax_default_matmul_precision',
                           prev if prev is not None else 'default')
+
+
+@pytest.mark.smoke
+def test_host_cast_bitwise_matches_device_cast():
+    """Inferer._host_cast moves the f32->bf16 convert to the host so bf16
+    inputs cross the wire at half the bytes (engine/infer.py); the host
+    ml_dtypes cast must be bit-identical to the on-device XLA convert it
+    replaced (both round-to-nearest-even)."""
+    from fpl_plus_tpu.engine.infer import Inferer
+    inferer = Inferer({'precision': 'bfloat16'})
+    rs = np.random.RandomState(0)
+    # denormals, large magnitudes, exact ties around the 8-bit mantissa
+    x = np.concatenate([
+        rs.normal(0, 1, 4096), rs.normal(0, 1e30, 64), rs.normal(0, 1e-38, 64),
+        np.asarray([1.0 + 2.0 ** -8, 1.0 + 2.0 ** -9, -1.0 - 2.0 ** -9]),
+    ]).astype(np.float32)
+    host = jnp.asarray(inferer._host_cast(x))
+    dev = jnp.asarray(x).astype(jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(host.view(jnp.uint16)),
+                                  np.asarray(dev.view(jnp.uint16)))
