@@ -44,6 +44,10 @@ N_SAMPLES = 3   # samples per arm, interleaved round-robin across arms:
 SERVING_BATCH = 8   # measured-best batched-serving policy (BASELINE.md
                     # round-3 stage C: B=8 scan-accumulated, 4.28 vol/s
                     # steady-state vs 2.9-3.9 for B<=4)
+SERVING_PRECISION = 'bfloat16'   # measured-best serving precision for the
+                    # batched arm (BASELINE.md round-5 batched-bf16 A/B:
+                    # 127.9 ms/volume device vs 134.6 f32, 5.94 vol/s wall
+                    # vs 5.07 interleaved; Dice parity proven end-to-end)
 
 
 def median_of(fn, k: int = N_SAMPLES) -> float:
@@ -233,7 +237,8 @@ def prepare_e2e_test_stage(module, variables) -> dict:
 
 
 def prepare_batched_serving(module, variables, img,
-                            b: int = SERVING_BATCH) -> dict:
+                            b: int = SERVING_BATCH,
+                            precision: str = 'float32') -> dict:
     """Batched serving (Inferer.run_batch_async): B same-shape volumes per
     program dispatch, depth-1 pipelined across dispatches — the production
     test stage's path for collated test batches (test_batch_size > 1).
@@ -241,10 +246,11 @@ def prepare_batched_serving(module, variables, img,
     BASELINE.md round-3 stage C). Reported as volumes/sec."""
     import jax.numpy as jnp
     from fpl_plus_tpu.engine.infer import Inferer
+    from fpl_plus_tpu.utils.precision import cast_infer_variables
 
     predictor = _predictor_for(module)
-    inferer = Inferer(dict(SW_CFG), patch_chunk=2)
-    ctx = (variables, jnp.int32(1))
+    inferer = Inferer(dict(SW_CFG, precision=precision), patch_chunk=2)
+    ctx = (cast_infer_variables(variables, precision), jnp.int32(1))
     imgs = np.repeat(img, b, axis=0)
     inferer.run_batch(predictor, ctx, imgs)     # warmup / compile
 
@@ -466,7 +472,8 @@ def main():
         'inference_f32': prepare_inference(module, variables, img),
         'inference_bf16': prepare_inference(module, variables, img,
                                             'bfloat16'),
-        'batched_serving': prepare_batched_serving(module, variables, img),
+        'batched_serving': prepare_batched_serving(
+            module, variables, img, precision=SERVING_PRECISION),
         'e2e_test_stage': prepare_e2e_test_stage(module, variables),
         'fpl_pass': prepare_fpl_pass(module, variables, img),
         'train_f32': prepare_train_step(module, variables),
@@ -525,6 +532,7 @@ def main():
         'batched_serving_b{0}'.format(SERVING_BATCH): {
             'value': round(med['batched_serving'], 4),
             'unit': 'volumes/sec',
+            'precision': SERVING_PRECISION,
             'vs_baseline': round(med['batched_serving']
                                  / BASELINE_VOL_PER_SEC, 1),
             'device_ms_per_volume': device_ms['batched_serving']},
