@@ -307,7 +307,11 @@ def prepare_fpl_pass(module, variables, img) -> dict:
         pending()
         return n_rep / (time.time() - t0)
 
-    return {'measure': measure, 'traced': None}
+    def traced():
+        inferer.run_fpl_uncertainty(pred, ctx, img, 6, margins)()
+
+    return {'measure': measure, 'traced': traced, 'traced_reps': 2,
+            'volumes_per_rep': 1}
 
 
 def _machinery_predictor(ctx, x):
@@ -528,7 +532,8 @@ def main():
             # baseline = the reference running its inference loop 6x
             'value': round(med['fpl_pass'], 4), 'unit': 'volumes/sec',
             'vs_baseline': round(med['fpl_pass']
-                                 / (BASELINE_VOL_PER_SEC / 6), 1)},
+                                 / (BASELINE_VOL_PER_SEC / 6), 1),
+            'device_ms_per_volume': device_ms['fpl_pass']},
         'batched_serving_b{0}'.format(SERVING_BATCH): {
             'value': round(med['batched_serving'], 4),
             'unit': 'volumes/sec',
