@@ -148,6 +148,35 @@ def test_bf16_inference_matches_f32_labels():
     np.testing.assert_allclose(out16, out32, rtol=0.1, atol=0.05)
 
 
+def test_bf16_batched_serving_matches_f32_and_per_volume():
+    """The measured-best serving policy (BASELINE.md round-5 batched-bf16
+    A/B: test_batch_size=8 + precision=bfloat16) — the batched program
+    under bf16 must reproduce the f32 batched labels and agree with the
+    per-volume bf16 path it shares numerics with."""
+    module, variables = _net_and_vars()
+
+    def predictor(ctx, x):
+        return module.apply(ctx, x, jnp.int32(1), False)
+
+    cfg = {'sliding_window_enable': True, 'sliding_window_size': [8, 32, 32],
+           'sliding_window_stride': [4, 16, 16], 'tta_mode': 1,
+           'class_num': 2, 'output_mode': 'label'}
+    rs = np.random.RandomState(11)
+    imgs = rs.normal(size=(3, 1, 12, 48, 48)).astype(np.float32)
+
+    lab32 = np.asarray(Inferer(dict(cfg), patch_chunk=2)
+                       .run_batch(predictor, variables, imgs))
+    v16 = cast_infer_variables(variables, 'bfloat16')
+    inf16 = Inferer(dict(cfg, precision='bfloat16'), patch_chunk=2)
+    lab16 = np.asarray(inf16.run_batch(predictor, v16, imgs))
+    assert lab16.shape == lab32.shape
+    assert (lab16 == lab32).mean() > 0.99        # f32 segmentation kept
+    per16 = np.concatenate([np.asarray(inf16.run(predictor, v16,
+                                                 imgs[i:i + 1]))
+                            for i in range(3)], 0)
+    assert (lab16 == per16).mean() > 0.995       # batched == per-volume
+
+
 def test_agent_threads_precision(tmp_path):
     """[training]/[testing] precision keys reach the step/Inferer."""
     from fpl_plus_tpu.agents.agent_seg import SegmentationAgent
